@@ -1,0 +1,185 @@
+"""SE(3) MPC cost model.
+
+Reproduces the reference objective (se3_mpc_planner.py:516-550) over the
+condensed thrust-only variable set, plus the obstacle penalty the reference
+*declares* but never enforces (its L-BFGS-B ignores constraint dicts,
+se3_mpc_planner.py:404-424; SURVEY.md 3.1) — here obstacles are a smooth
+hinge penalty that actually binds.
+
+Cost terms (weights from SE3MPCConfig, se3_mpc_planner.py:55-64):
+
+    J(u) = sum_k  w_p ||p_k - goal||^2                (position tracking)
+         + sum_k  w_v ||v_k||^2                       (velocity regulation)
+         + sum_k  w_a ||a_k||^2                       (smoothness)
+         + sum_k  w_T ||u_k - h e3||^2                (control effort, h = m g)
+         + 10 w_p ||p_{N-1} - goal||^2                (terminal)
+         + w_obs sum_{k,o} relu(r_safe_o - d_ko)^2    (obstacle hinge)
+
+with (p, v, a) the affine functions of u from
+:mod:`dart_planner_tpu.ops.dynamics`. Everything is batched and jit-safe;
+obstacles are a fixed-size padded set ``(K, 4)`` of (cx, cy, cz, r_safe)
+rows with a boolean validity mask.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dart_planner_tpu.ops import dynamics
+
+Array = jnp.ndarray
+
+
+class CostWeights(NamedTuple):
+    """Static cost weights (python floats — hashable, part of jit closure)."""
+
+    position: float = 100.0
+    velocity: float = 10.0
+    acceleration: float = 1.0
+    thrust: float = 0.1
+    terminal: float = 10.0  # multiplier on position weight at the last step
+    obstacle: float = 1000.0
+
+
+class Problem(NamedTuple):
+    """Per-scenario MPC problem data (pytree of arrays — traced)."""
+
+    p0: Array  # (..., 3) current position
+    v0: Array  # (..., 3) current velocity
+    goal: Array  # (..., 3) goal position
+    obstacles: Array  # (..., K, 4): cx, cy, cz, r_safe (radius + margin)
+    obstacle_mask: Array  # (..., K) bool
+
+
+def hover_thrust_vec(mass: float, gravity: float, dtype=jnp.float32) -> Array:
+    """h e3: the control-effort setpoint (se3_mpc_planner.py:542)."""
+    return jnp.array([0.0, 0.0, mass * gravity], dtype=dtype)
+
+
+def obstacle_penalty(pos: Array, obstacles: Array, mask: Array) -> Array:
+    """Smooth hinge penalty sum_{k,o} relu(r_safe - d)^2.
+
+    ``pos`` (..., N, 3); ``obstacles`` (..., K, 4); ``mask`` (..., K).
+    Distance is softened with a small epsilon so the gradient is defined at
+    the obstacle center.
+    """
+    centers = obstacles[..., :3]  # (..., K, 3)
+    r_safe = obstacles[..., 3]  # (..., K)
+    diff = pos[..., :, None, :] - centers[..., None, :, :]  # (..., N, K, 3)
+    d = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-9)  # (..., N, K)
+    viol = jnp.maximum(r_safe[..., None, :] - d, 0.0)
+    viol = viol * mask[..., None, :].astype(viol.dtype)
+    return jnp.sum(viol * viol, axis=(-1, -2))
+
+
+def condensed_cost(
+    u: Array,
+    prob: Problem,
+    weights: CostWeights,
+    dt: float,
+    mass: float,
+    gravity_vec: Array,
+) -> Array:
+    """Total cost J(u) for thrusts ``u`` (..., N, 3). Returns (...)."""
+    pos, vel, acc = dynamics.rollout_linear(u, prob.p0, prob.v0, dt, mass, gravity_vec)
+    w = weights
+    # gravity_vec z-component is negative in ENU; hover magnitude is m * |g|.
+    hover = jnp.array([0.0, 0.0, 1.0], dtype=u.dtype) * (mass * jnp.abs(gravity_vec[2]))
+
+    pe = pos - prob.goal[..., None, :]
+    J = w.position * jnp.sum(pe * pe, axis=(-1, -2))
+    J += w.velocity * jnp.sum(vel * vel, axis=(-1, -2))
+    J += w.acceleration * jnp.sum(acc * acc, axis=(-1, -2))
+    du = u - hover
+    J += w.thrust * jnp.sum(du * du, axis=(-1, -2))
+    term = pos[..., -1, :] - prob.goal
+    J += w.terminal * w.position * jnp.sum(term * term, axis=-1)
+    J += w.obstacle * obstacle_penalty(pos, prob.obstacles, prob.obstacle_mask)
+    return J
+
+
+def condensed_grad(
+    u: Array,
+    prob: Problem,
+    weights: CostWeights,
+    dt: float,
+    mass: float,
+    gravity_vec: Array,
+) -> Array:
+    """Analytic gradient dJ/du via reverse-mode AD (exact; XLA fuses the
+    whole rollout + cost + pullback into one kernel)."""
+    return jax.grad(
+        lambda uu: jnp.sum(
+            condensed_cost(uu, prob, weights, dt, mass, gravity_vec)
+        )
+    )(u)
+
+
+@functools.lru_cache(maxsize=32)
+def quadratic_hessian(
+    N: int,
+    dt: float,
+    mass: float,
+    gravity_z: float,
+    weights: CostWeights,
+) -> np.ndarray:
+    """Constant per-axis Hessian (N, N) of the quadratic cost terms wrt u.
+
+    Per axis d (the quadratic terms never couple axes):
+
+        H = 2 [ w_p (S_p^T S_p + 10 s_N s_N^T) + w_v S_v^T S_v
+                + (w_a / m^2 + w_T) I ] / m^2-scaled appropriately
+
+    where p = const + S_p a, a = u/m + g, so dp/du = S_p / m.
+    Computed in float64 once per configuration and cached.
+    """
+    S_p, S_v, _ = dynamics.rollout_matrices(N, dt)
+    w = weights
+    Hp = S_p.T @ S_p + w.terminal * np.outer(S_p[-1], S_p[-1])
+    Hv = S_v.T @ S_v
+    H = 2.0 * (
+        w.position * Hp / (mass * mass)
+        + w.velocity * Hv / (mass * mass)
+        + (w.acceleration / (mass * mass) + w.thrust) * np.eye(N)
+    )
+    return H
+
+
+def obstacle_gn_hessian(
+    u: Array,
+    prob: Problem,
+    weights: CostWeights,
+    dt: float,
+    mass: float,
+    gravity_vec: Array,
+) -> Array:
+    """Gauss-Newton Hessian contribution of the obstacle hinge, pulled back
+    to thrust space. Returns (..., N, 3, N, 3).
+
+    Residuals r_ko = relu(r_safe_o - d_ko); J_r wrt p_k = -diff_ko / d_ko
+    where active. H_p[k] = 2 w_obs sum_o n n^T (3x3 per step), then
+    H_u[(k1,a1),(k2,a2)] = sum_k S_p[k,k1] S_p[k,k2] H_p[k,a1,a2] / m^2.
+    """
+    pos, _, _ = dynamics.rollout_linear(u, prob.p0, prob.v0, dt, mass, gravity_vec)
+    centers = prob.obstacles[..., :3]
+    r_safe = prob.obstacles[..., 3]
+    diff = pos[..., :, None, :] - centers[..., None, :, :]  # (..., N, K, 3)
+    d = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-9)
+    active = (
+        (r_safe[..., None, :] > d)
+        & prob.obstacle_mask[..., None, :]
+    ).astype(u.dtype)
+    n = diff / d[..., None]  # unit normals (..., N, K, 3)
+    # per-step 3x3 position-space GN blocks
+    Hp = 2.0 * weights.obstacle * jnp.einsum(
+        "...nka,...nkb,...nk->...nab", n, n, active
+    )  # (..., N, 3, 3)
+    N_h = u.shape[-2]
+    S_p = jnp.asarray(dynamics.rollout_matrices(N_h, float(dt))[0], u.dtype) / mass
+    H_u = jnp.einsum("ki,kj,...kab->...iajb", S_p, S_p, Hp)
+    return H_u
