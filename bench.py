@@ -1,0 +1,98 @@
+"""Headline benchmark: batched SE(3) MPC throughput (solves/s/chip, N=20).
+
+Prints ONE JSON line. ``vs_baseline`` is measured throughput over the
+north-star target of 1,000 solves/s/chip (BASELINE.md); extra fields record
+the single-solve device latency against the reference's 50 ms real-time
+budget (/root/reference/tests/test_real_time_latency.py:109-120).
+
+Timing methodology: the dev TPU sits behind a network tunnel on which
+``block_until_ready`` can return before execution finishes, so naive
+per-call timing measures enqueue, not compute. Instead each measurement
+dispatches a *data-dependent chain* of R solves (the warm-start output of
+solve k feeds solve k+1, so the device must run them serially) and times
+until a scalar from the final result is fetched; the tunnel round trip is
+measured separately with a trivial chain (R=0 equivalent) and subtracted.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def _fetch(x):
+    return float(np.asarray(x))
+
+
+def main():
+    import jax
+
+    from dart_planner_tpu.planning import se3_mpc
+
+    config = se3_mpc.SE3MPCConfig()  # N=20, 12 Newton iterations
+    rng = np.random.default_rng(0)
+
+    def problem(batch):
+        obs = np.concatenate(
+            [
+                rng.normal(0, 4, (batch, 4, 3)),
+                rng.uniform(0.3, 1.2, (batch, 4, 1)),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+        return se3_mpc.make_problem(
+            rng.normal(0, 2, (batch, 3)).astype(np.float32) + [0, 0, 5],
+            rng.normal(0, 1, (batch, 3)).astype(np.float32),
+            rng.normal(0, 5, (batch, 3)).astype(np.float32) + [0, 0, 5],
+            obstacles=obs,
+            config=config,
+        )
+
+    def timed_chain(prob, u0, reps):
+        """Seconds per solve-call: R chained solves, one scalar fetch."""
+        u = u0
+        # warm-up + drain the device queue
+        u = se3_mpc.solve_se3_mpc(config, prob, u).thrusts
+        _fetch(u[..., 0, 0].sum())
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            u = se3_mpc.solve_se3_mpc(config, prob, u).thrusts
+        _fetch(u[..., 0, 0].sum())
+        total = time.perf_counter() - t0
+        # round-trip baseline: identical fetch with zero extra solves
+        t0 = time.perf_counter()
+        _fetch(u[..., 0, 0].sum())
+        rtt = time.perf_counter() - t0
+        return max(total - rtt, 1e-9) / reps, rtt
+
+    # --- batched throughput, 4096 scenarios ---
+    batch = 4096
+    prob = jax.device_put(problem(batch))
+    u0 = se3_mpc.initialize_thrusts(config, prob)
+    per_call, rtt = timed_chain(prob, u0, reps=30)
+    solves_per_s = batch / per_call
+
+    # --- single-solve device latency ---
+    prob1 = jax.device_put(problem(1))
+    u1 = se3_mpc.initialize_thrusts(config, prob1)
+    lat_s, _ = timed_chain(prob1, u1, reps=100)
+
+    print(
+        json.dumps(
+            {
+                "metric": "batched SE(3) MPC throughput (N=20, 4096 scenarios)",
+                "value": round(solves_per_s, 1),
+                "unit": "solves/s/chip",
+                "vs_baseline": round(solves_per_s / 1000.0, 3),
+                "single_solve_device_ms": round(lat_s * 1e3, 4),
+                "single_solve_budget_ms": 50.0,
+                "batch_step_ms": round(per_call * 1e3, 3),
+                "tunnel_rtt_ms": round(rtt * 1e3, 2),
+                "device": str(jax.devices()[0].platform),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
