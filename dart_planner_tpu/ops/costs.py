@@ -44,6 +44,10 @@ class CostWeights(NamedTuple):
     thrust: float = 0.1
     terminal: float = 10.0  # multiplier on position weight at the last step
     obstacle: float = 1000.0
+    ground: float = 0.0  # ground-clearance hinge weight (0 = off)
+    ground_altitude: float = 0.0  # min altitude z_min for the hinge
+    velocity_bound: float = 0.0  # per-axis |v| <= v_max hinge weight (0 = off)
+    max_velocity: float = 0.0  # v_max for the hinge
 
 
 class Problem(NamedTuple):
@@ -100,6 +104,19 @@ def condensed_cost(
     term = pos[..., -1, :] - prob.goal
     J += w.terminal * w.position * jnp.sum(term * term, axis=-1)
     J += w.obstacle * obstacle_penalty(pos, prob.obstacles, prob.obstacle_mask)
+    if w.ground > 0.0:
+        # ground-clearance hinge sum_k relu(z_min - z_k)^2 — keeps plans
+        # above the floor (the reference only *validates* altitude >= 0.1
+        # post-hoc, se3_mpc_planner.py:727; here it shapes the solution)
+        gviol = jnp.maximum(w.ground_altitude - pos[..., 2], 0.0)
+        J += w.ground * jnp.sum(gviol * gviol, axis=-1)
+    if w.velocity_bound > 0.0:
+        # per-axis velocity-envelope hinge: the reference encodes
+        # +-max_velocity as hard box bounds on its velocity decision
+        # variables (se3_mpc_planner.py:387-389); condensing eliminated
+        # those variables, so the envelope returns as a penalty.
+        vviol = jnp.maximum(jnp.abs(vel) - w.max_velocity, 0.0)
+        J += w.velocity_bound * jnp.sum(vviol * vviol, axis=(-1, -2))
     return J
 
 
@@ -157,15 +174,20 @@ def obstacle_gn_hessian(
     dt: float,
     mass: float,
     gravity_vec: Array,
+    include_obstacles: bool = True,
 ) -> Array:
-    """Gauss-Newton Hessian contribution of the obstacle hinge, pulled back
-    to thrust space. Returns (..., N, 3, N, 3).
+    """Gauss-Newton Hessian of the hinge penalties (obstacles + ground),
+    pulled back to thrust space. Returns (..., N, 3, N, 3).
 
     Residuals r_ko = relu(r_safe_o - d_ko); J_r wrt p_k = -diff_ko / d_ko
     where active. H_p[k] = 2 w_obs sum_o n n^T (3x3 per step), then
     H_u[(k1,a1),(k2,a2)] = sum_k S_p[k,k1] S_p[k,k2] H_p[k,a1,a2] / m^2.
+    The ground hinge adds 2 w_g e_z e_z^T on active steps; the velocity
+    hinge adds 2 w_vb per active axis, pulled back through S_v.
     """
-    pos, _, _ = dynamics.rollout_linear(u, prob.p0, prob.v0, dt, mass, gravity_vec)
+    pos, vel, _ = dynamics.rollout_linear(u, prob.p0, prob.v0, dt, mass, gravity_vec)
+    N_h = u.shape[-2]
+    Hp = jnp.zeros(u.shape[:-2] + (N_h, 3, 3), u.dtype)
     centers = prob.obstacles[..., :3]
     r_safe = prob.obstacles[..., 3]
     diff = pos[..., :, None, :] - centers[..., None, :, :]  # (..., N, K, 3)
@@ -176,10 +198,30 @@ def obstacle_gn_hessian(
     ).astype(u.dtype)
     n = diff / d[..., None]  # unit normals (..., N, K, 3)
     # per-step 3x3 position-space GN blocks
-    Hp = 2.0 * weights.obstacle * jnp.einsum(
-        "...nka,...nkb,...nk->...nab", n, n, active
-    )  # (..., N, 3, 3)
-    N_h = u.shape[-2]
-    S_p = jnp.asarray(dynamics.rollout_matrices(N_h, float(dt))[0], u.dtype) / mass
-    H_u = jnp.einsum("ki,kj,...kab->...iajb", S_p, S_p, Hp)
+    if include_obstacles:
+        Hp = Hp + 2.0 * weights.obstacle * jnp.einsum(
+            "...nka,...nkb,...nk->...nab", n, n, active
+        )  # (..., N, 3, 3)
+    if weights.ground > 0.0:
+        g_active = (pos[..., 2] < weights.ground_altitude).astype(u.dtype)
+        Hp = Hp.at[..., 2, 2].add(2.0 * weights.ground * g_active)
+    S_p_np, S_v_np, _ = dynamics.rollout_matrices(N_h, float(dt))
+    S_p = jnp.asarray(S_p_np, u.dtype) / mass
+    H_u = jnp.einsum(
+        "ki,kj,...kab->...iajb", S_p, S_p, Hp,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if weights.velocity_bound > 0.0:
+        v_active = (jnp.abs(vel) > weights.max_velocity).astype(u.dtype)
+        S_v = jnp.asarray(S_v_np, u.dtype) / mass
+        # diagonal per-axis velocity blocks: H_v[k,a] = 2 w_vb 1{active}
+        Hv_diag = 2.0 * weights.velocity_bound * v_active  # (..., N, 3)
+        tmp = jnp.einsum(
+            "ki,kj,...ka->...iaj",
+            S_v,
+            S_v,
+            Hv_diag,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (..., N, 3, N); axes never couple, so spread with delta_ab
+        H_u = H_u + tmp[..., None] * jnp.eye(3, dtype=u.dtype)[None, :, None, :]
     return H_u

@@ -86,9 +86,11 @@ def rollout_linear(
     t = jnp.asarray(t, u.dtype)
     a = accel_from_thrust(u, mass, gravity_vec)
     # (..., N, 3) = (N, N) @ (..., N, 3)
-    vel = v0[..., None, :] + jnp.einsum("kj,...jd->...kd", S_v, a)
+    vel = v0[..., None, :] + jnp.einsum(
+        "kj,...jd->...kd", S_v, a, precision=jax.lax.Precision.HIGHEST
+    )
     pos = p0[..., None, :] + t[:, None] * v0[..., None, :] + jnp.einsum(
-        "kj,...jd->...kd", S_p, a
+        "kj,...jd->...kd", S_p, a, precision=jax.lax.Precision.HIGHEST
     )
     return pos, vel, a
 

@@ -174,3 +174,50 @@ def body_rates_from_rotmats(Rs: Array, dt: float | Array) -> Array:
     omega = vee(omega_mat)
     # first step has no predecessor -> zero
     return omega.at[..., 0, :].set(0.0)
+
+
+def exp_so3(w: Array) -> Array:
+    """SO(3) exponential by Rodrigues' formula, Taylor-safe near zero.
+
+    ``w``: (..., 3) rotation vector -> (..., 3, 3) rotation matrix.
+    """
+    theta2 = jnp.sum(w * w, axis=-1)
+    theta = jnp.sqrt(theta2)
+    small = theta < 1e-5
+    # sin(t)/t and (1-cos(t))/t^2 with series fallbacks
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / jnp.where(small, 1.0, theta))
+    b = jnp.where(
+        small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, theta2)
+    )
+    W = hat(w)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
+    return eye + a[..., None, None] * W + b[..., None, None] * (W @ W)
+
+
+def log_so3(R: Array) -> Array:
+    """SO(3) logarithm: rotation vector from a rotation matrix (inverse of
+    :func:`exp_so3`), numerically safe near identity and pi."""
+    trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+    cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
+    theta = jnp.arccos(cos_theta)
+    skew = vee(R - jnp.swapaxes(R, -1, -2))  # = 2 sin(theta) * axis
+    small = theta < 1e-5
+    # w = theta / (2 sin theta) * vee(R - R^T); series for small theta
+    scale = jnp.where(
+        small,
+        0.5 + theta * theta / 12.0,
+        theta / jnp.where(small, 1.0, 2.0 * jnp.sin(jnp.where(small, 1.0, theta))),
+    )
+    w = scale[..., None] * skew
+    # near pi the skew part vanishes; fall back to the diagonal formula
+    near_pi = theta > jnp.pi - 1e-3
+    diag = jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1)
+    axis2 = jnp.maximum((diag - cos_theta[..., None]) / (1.0 - cos_theta[..., None] + 1e-12), 0.0)
+    axis = jnp.sqrt(axis2)
+    # fix signs from off-diagonal sums
+    sx = jnp.where(R[..., 2, 1] - R[..., 1, 2] >= 0, 1.0, -1.0)
+    sy = jnp.where(R[..., 0, 2] - R[..., 2, 0] >= 0, 1.0, -1.0)
+    sz = jnp.where(R[..., 1, 0] - R[..., 0, 1] >= 0, 1.0, -1.0)
+    axis = axis * jnp.stack([sx, sy, sz], axis=-1)
+    w_pi = theta[..., None] * axis
+    return jnp.where(near_pi[..., None], w_pi, w)

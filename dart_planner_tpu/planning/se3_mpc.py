@@ -70,6 +70,10 @@ class SE3MPCConfig(NamedTuple):
     max_iterations: int = 12
     convergence_tolerance: float = 5e-2
 
+    ground_weight: float = 50000.0  # ground-clearance hinge (novel vs reference)
+    min_altitude: float = 0.3  # m
+    velocity_bound_weight: float = 1000.0  # +-max_velocity hinge (ref box bound)
+
     mass: float = 1.5  # kg (se3_mpc_planner.py:149)
     gravity: float = 9.81
 
@@ -84,6 +88,10 @@ class SE3MPCConfig(NamedTuple):
             thrust=self.thrust_weight,
             terminal=self.terminal_weight,
             obstacle=self.obstacle_weight,
+            ground=self.ground_weight,
+            ground_altitude=self.min_altitude,
+            velocity_bound=self.velocity_bound_weight,
+            max_velocity=self.max_velocity,
         )
 
     @property
@@ -225,9 +233,11 @@ def solve_se3_mpc(
         active = (at_lo | at_hi).reshape(batch + (n_flat,))
 
         H = H_quad
-        if use_obstacles:
-            H_obs = costs.obstacle_gn_hessian(u, prob, w, dt, mass, gvec)
-            H = H + H_obs.reshape(batch + (n_flat, n_flat))
+        if use_obstacles or w.ground > 0.0 or w.velocity_bound > 0.0:
+            H_pen = costs.obstacle_gn_hessian(
+                u, prob, w, dt, mass, gvec, include_obstacles=use_obstacles
+            )
+            H = H + H_pen.reshape(batch + (n_flat, n_flat))
         else:
             H = jnp.broadcast_to(H, batch + (n_flat, n_flat))
 

@@ -1,0 +1,205 @@
+"""Closed-loop plan->control->physics episodes as one jitted scan.
+
+The reference runs its closed loop as Python processes exchanging ZMQ
+messages at 10 Hz / 1 kHz (edge/main_improved.py:86-192) and its Monte
+Carlo as 20 sequential seeded runs (tests/test_monte_carlo_sim.py). Here
+one episode is a ``lax.scan`` over replan blocks — SE(3) MPC solve, then
+an inner scan of geometric-controller ticks driving rigid-body physics —
+and the Monte-Carlo fleet is a single ``vmap`` of that episode over
+randomized starts, winds, and obstacle fields (BASELINE.json config 4).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from dart_planner_tpu.common.types import DroneState
+from dart_planner_tpu.control import geometric
+from dart_planner_tpu.ops import costs
+from dart_planner_tpu.planning import se3_mpc
+from dart_planner_tpu.sim import physics as phys
+
+Array = jnp.ndarray
+
+
+class ClosedLoopConfig(NamedTuple):
+    """Static episode configuration."""
+
+    mpc: se3_mpc.SE3MPCConfig = se3_mpc.SE3MPCConfig()
+    # thrust ceilings aligned with the planner's 25 N (the reference ships
+    # mismatched defaults: planner 25 N, controller/sim 20 N)
+    physics: phys.PhysicsConfig = phys.PhysicsConfig(max_thrust=25.0)
+    control: geometric.GeometricConfig = geometric.GeometricConfig(
+        mass=1.5, max_thrust=25.0
+    )
+    control_dt: float = 0.02  # 50 Hz inner loop
+    substeps_per_plan: int = 5  # -> replans at 10 Hz
+    num_replans: int = 60  # 6 s episode
+    goal_tolerance: float = 1.0  # m (test_monte_carlo_sim.py criterion)
+    sensor_noise_std: float = 0.0  # m / m s^-1 position/velocity noise
+    wind_mean: float = 0.0
+    wind_std: float = 0.0
+    min_altitude: float = 0.05  # below this = crash
+
+
+class EpisodeResult(NamedTuple):
+    final_position: Array  # (..., 3)
+    final_distance: Array  # (...,)
+    min_distance: Array  # (...,) closest approach to goal
+    tracking_rmse: Array  # (...,) plan-vs-actual position RMSE
+    crashed: Array  # (...,) bool
+    success: Array  # (...,) bool
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def simulate_episode(
+    config: ClosedLoopConfig,
+    key: Array,
+    state0: DroneState,
+    goal: Array,
+    obstacles: Optional[Array] = None,
+    obstacle_mask: Optional[Array] = None,
+) -> EpisodeResult:
+    """One closed-loop episode; batches only via vmap (inputs unbatched)."""
+    mpc = config.mpc
+    dtype = state0.position.dtype
+    K = mpc.max_obstacles
+    if obstacles is None:
+        obstacles = jnp.zeros((K, 4), dtype)
+        obstacle_mask = jnp.zeros((K,), bool)
+    else:
+        obstacles = jnp.asarray(obstacles, dtype)
+        if obstacle_mask is None:
+            obstacle_mask = jnp.ones(obstacles.shape[:-1], bool)
+    # pre-add safety margin as make_problem does
+    obstacles = obstacles.at[..., 3].add(
+        jnp.where(obstacle_mask, mpc.safety_margin, 0.0)
+    )
+
+    k_wind, k_noise = jax.random.split(key)
+    wind = phys.sample_wind(k_wind, (), config.wind_mean, config.wind_std, dtype)
+
+    rb0 = phys.RigidBodyState.from_drone_state(state0)
+    ctrl0 = geometric.ControllerState.zeros(config.control, dtype=dtype)
+    u0 = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, mpc.hover_thrust], dtype), (mpc.prediction_horizon, 3)
+    )
+
+    n_sub = config.substeps_per_plan
+    plan_span = mpc.dt * mpc.prediction_horizon
+
+    def replan_block(carry, block_idx):
+        rb, ctrl_state, u_warm, t = carry
+        kb = jax.random.fold_in(k_noise, block_idx)
+        noise = config.sensor_noise_std * jax.random.normal(kb, (6,), dtype)
+        prob = costs.Problem(
+            p0=rb.position + noise[:3],
+            v0=rb.velocity + noise[3:],
+            goal=goal,
+            obstacles=obstacles,
+            obstacle_mask=obstacle_mask,
+        )
+        res = se3_mpc.solve_se3_mpc(mpc, prob, se3_mpc.shift_warm_start(mpc, u_warm))
+
+        def control_tick(carry2, sub_idx):
+            rb2, cs2, t2 = carry2
+            tau = (sub_idx.astype(dtype) + 1.0) * config.control_dt
+            # linear interpolation of the plan at time tau
+            x = jnp.clip(tau / mpc.dt, 0.0, mpc.prediction_horizon - 1.001)
+            i0 = jnp.floor(x).astype(jnp.int32)
+            frac = x - i0.astype(dtype)
+
+            def lerp(arr):
+                return arr[i0] + frac * (arr[i0 + 1] - arr[i0])
+
+            sp = geometric.ControlSetpoint(
+                position=lerp(res.positions),
+                velocity=lerp(res.velocities),
+                acceleration=lerp(res.accelerations),
+                yaw=jnp.zeros((), dtype),
+                yaw_rate=jnp.zeros((), dtype),
+            )
+            ds = rb2.to_drone_state(t2)
+            cmd, cs3 = geometric.compute_control(
+                config.control, cs2, ds, sp, config.control_dt
+            )
+            rb3 = phys.rigid_body_step(
+                config.physics, rb2, cmd, config.control_dt, wind
+            )
+            dist = jnp.linalg.norm(rb3.position - goal)
+            track_err = jnp.sum((rb3.position - sp.position) ** 2)
+            return (rb3, cs3, t2 + config.control_dt), (dist, track_err, rb3.position[2])
+
+        (rb, ctrl_state, t), (dists, terrs, alts) = jax.lax.scan(
+            control_tick, (rb, ctrl_state, t), jnp.arange(n_sub)
+        )
+        return (rb, ctrl_state, res.thrusts, t), (
+            jnp.min(dists),
+            jnp.sum(terrs),
+            jnp.min(alts),
+        )
+
+    init = (rb0, ctrl0, u0, state0.timestamp.astype(dtype))
+    (rb, _, _, _), (min_dists, terr_sums, min_alts) = jax.lax.scan(
+        replan_block, init, jnp.arange(config.num_replans)
+    )
+
+    final_dist = jnp.linalg.norm(rb.position - goal)
+    min_dist = jnp.minimum(jnp.min(min_dists), final_dist)
+    total_ticks = config.num_replans * n_sub
+    rmse = jnp.sqrt(jnp.sum(terr_sums) / total_ticks)
+    crashed = jnp.min(min_alts) < config.min_altitude
+    return EpisodeResult(
+        final_position=rb.position,
+        final_distance=final_dist,
+        min_distance=min_dist,
+        tracking_rmse=rmse,
+        crashed=crashed,
+        success=(final_dist < config.goal_tolerance) & ~crashed,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("config", "num_episodes"))
+def monte_carlo(
+    config: ClosedLoopConfig,
+    key: Array,
+    num_episodes: int,
+    start_center: Array,
+    goal_center: Array,
+    start_spread: float = 2.0,
+    goal_spread: float = 2.0,
+    obstacles: Optional[Array] = None,
+    obstacle_mask: Optional[Array] = None,
+) -> EpisodeResult:
+    """Vmapped randomized fleet (reference test_monte_carlo_sim.py: 20
+    seeded runs, >=80%% goal-reach; here the whole fleet is one executable
+    and scales to thousands of episodes per chip)."""
+    dtype = jnp.asarray(start_center).dtype
+    keys = jax.random.split(key, num_episodes + 2)
+    ep_keys, k_start, k_goal = keys[:-2], keys[-2], keys[-1]
+    starts = start_center + start_spread * jax.random.normal(
+        k_start, (num_episodes, 3), dtype
+    )
+    starts = starts.at[:, 2].set(jnp.maximum(starts[:, 2], 1.0))
+    goals = goal_center + goal_spread * jax.random.normal(
+        k_goal, (num_episodes, 3), dtype
+    )
+    goals = goals.at[:, 2].set(jnp.maximum(goals[:, 2], 1.0))
+    states = DroneState.create(
+        timestamp=jnp.zeros(num_episodes, dtype),
+        position=starts,
+        velocity=jnp.zeros((num_episodes, 3), dtype),
+        attitude=jnp.zeros((num_episodes, 3), dtype),
+        angular_velocity=jnp.zeros((num_episodes, 3), dtype),
+    )
+    if obstacles is None:
+        return jax.vmap(
+            lambda k, s, g: simulate_episode(config, k, s, g)
+        )(ep_keys, states, goals)
+    return jax.vmap(
+        lambda k, s, g: simulate_episode(config, k, s, g, obstacles, obstacle_mask)
+    )(ep_keys, states, goals)
