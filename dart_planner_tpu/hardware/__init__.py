@@ -1,0 +1,49 @@
+"""Hardware abstraction layer.
+
+Mirrors the reference ``src/dart_planner/hardware/`` (SURVEY.md section
+2.5): a ``VehicleIO`` ABC + factory, a pure-software simulated vehicle,
+physics-based motor mixing/models, a safety watchdog, and a transport-
+delay buffer. MAVLink/AirSim adapters are import-gated (pymavlink/airsim
+are not in this image) but keep the reference API shape.
+"""
+
+from dart_planner_tpu.hardware.vehicle_io import (
+    VehicleIO,
+    VehicleIOFactory,
+    SafetyValidatedVehicleIO,
+)
+from dart_planner_tpu.hardware.simulated_vehicle import SimulatedVehicleIO
+from dart_planner_tpu.hardware.motor_model import (
+    MotorParameters,
+    QuadraticMotorModel,
+    create_default_motor_model,
+    fit_quadratic_motor_model,
+)
+from dart_planner_tpu.hardware.motor_mixer import (
+    MotorMixer,
+    MotorMixingConfig,
+    create_x_configuration,
+    create_plus_configuration,
+)
+from dart_planner_tpu.hardware.safety_watchdog import SafetyWatchdog
+from dart_planner_tpu.hardware.latency_buffer import LatencyBuffer
+
+__all__ = [
+    "VehicleIO",
+    "VehicleIOFactory",
+    "SafetyValidatedVehicleIO",
+    "SimulatedVehicleIO",
+    "MotorParameters",
+    "QuadraticMotorModel",
+    "create_default_motor_model",
+    "fit_quadratic_motor_model",
+    "MotorMixer",
+    "MotorMixingConfig",
+    "create_x_configuration",
+    "create_plus_configuration",
+    "SafetyWatchdog",
+    "LatencyBuffer",
+]
+from dart_planner_tpu.hardware.safety import SafetyLimits, SafetyManager  # noqa: E402
+
+__all__ += ["SafetyLimits", "SafetyManager"]
