@@ -1,0 +1,185 @@
+"""Edge control loop.
+
+Port of the reference ``edge/main_improved.py`` ("E"): a high-rate
+control loop that polls the cloud for trajectories at ~10 Hz over ZMQ
+(E:97-118), splices them with the trajectory smoother (E:111), runs the
+geometric controller per tick (E:140-147), steps the simulated vehicle
+physics (E:150), and keeps CSV-style logs + frequency stats (E:198-238).
+The tiered failsafe (NOMINAL/DEGRADED/AUTONOMOUS/EMERGENCY keyed on
+connection quality) follows edge/onboard_autonomous_controller.py:19-64.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import enum
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from dart_planner_tpu.common.errors import CommunicationError
+from dart_planner_tpu.common.logging_config import get_logger
+from dart_planner_tpu.common.timing import TimingConfig, TimingManager
+from dart_planner_tpu.common.types import DroneState, Trajectory
+from dart_planner_tpu.comms import SecureSerializer, ZmqClient
+from dart_planner_tpu.hardware.simulated_vehicle import SimulatedVehicleIO
+
+logger = get_logger("apps.edge")
+
+
+class FailsafeTier(enum.Enum):
+    """(reference edge/onboard_autonomous_controller.py:19-64)"""
+
+    NOMINAL = "nominal"  # cloud trajectories fresh
+    DEGRADED = "degraded"  # stale but recent trajectories
+    AUTONOMOUS = "autonomous"  # no cloud; hold/loiter locally
+    EMERGENCY = "emergency"  # descend now
+
+
+@dataclass
+class EdgeConfig:
+    """(E:34-39 TimingConfig usage + failsafe thresholds)"""
+
+    control_frequency: float = 200.0  # Hz (reference demo: 1 kHz; CPU-bound here)
+    comms_frequency: float = 10.0  # Hz
+    cloud_host: str = "localhost"
+    cloud_port: int = 5555
+    degraded_after_s: float = 1.0
+    autonomous_after_s: float = 3.0
+    emergency_after_s: float = 10.0
+
+
+class EdgeController:
+    """(E:18-238)"""
+
+    def __init__(
+        self,
+        config: Optional[EdgeConfig] = None,
+        serializer: Optional[SecureSerializer] = None,
+        vehicle: Optional[SimulatedVehicleIO] = None,
+    ):
+        self.config = config or EdgeConfig()
+        self.client = ZmqClient(
+            host=self.config.cloud_host,
+            port=self.config.cloud_port,
+            timeout_ms=500,
+            serializer=serializer,
+        )
+        self.vehicle = vehicle or SimulatedVehicleIO(
+            {"control_dt": 1.0 / self.config.control_frequency}
+        )
+        self.timing = TimingManager(
+            TimingConfig(
+                control_frequency=self.config.control_frequency,
+                planning_frequency=self.config.comms_frequency,
+            )
+        )
+        self.tier = FailsafeTier.AUTONOMOUS
+        self.last_cloud_ok = 0.0
+        self.log_rows: List[Dict[str, Any]] = []
+        self._running = False
+
+    def _update_tier(self, now: float) -> None:
+        age = now - self.last_cloud_ok
+        if age < self.config.degraded_after_s:
+            self.tier = FailsafeTier.NOMINAL
+        elif age < self.config.autonomous_after_s:
+            self.tier = FailsafeTier.DEGRADED
+        elif age < self.config.emergency_after_s:
+            self.tier = FailsafeTier.AUTONOMOUS
+        else:
+            self.tier = FailsafeTier.EMERGENCY
+
+    def _fetch_trajectory(self) -> bool:
+        """10 Hz cloud exchange (E:97-118)."""
+        state = self.vehicle.get_state()
+        try:
+            self.client.send_request(
+                "update_state",
+                {
+                    "timestamp": float(state.timestamp),
+                    "position": np.asarray(state.position),
+                    "velocity": np.asarray(state.velocity),
+                },
+            )
+            out = self.client.send_request("get_trajectory")
+        except CommunicationError:
+            return False
+        if not out or not out.get("available"):
+            return False
+        traj = Trajectory(
+            timestamps=jnp.asarray(out["timestamps"], jnp.float32),
+            positions=jnp.asarray(out["positions"], jnp.float32),
+            velocities=jnp.asarray(out["velocities"], jnp.float32),
+            accelerations=jnp.asarray(out["accelerations"], jnp.float32),
+        )
+        # splice through the smoother (E:111); smoother timeline is sim time
+        self.vehicle.smoother_state = __import__(
+            "dart_planner_tpu.control.smoother", fromlist=["update_trajectory"]
+        ).update_trajectory(
+            self.vehicle.smoother_config,
+            self.vehicle.smoother_state,
+            traj,
+            jnp.asarray(self.vehicle.sim_time, jnp.float32),
+        )
+        self.last_cloud_ok = time.time()
+        return True
+
+    async def run(self, duration: float = 10.0) -> Dict[str, Any]:
+        """Main loop (E:86-192). Returns run statistics (E:198-238)."""
+        await self.vehicle.connect()
+        await self.vehicle.arm()
+        self._running = True
+        # grace period: tier timers start at launch, not epoch
+        self.last_cloud_ok = time.time()
+        dt = 1.0 / self.config.control_frequency
+        comms_period = 1.0 / self.config.comms_frequency
+        next_comms = 0.0
+        ticks = 0
+        t_start = time.time()
+        while self._running and time.time() - t_start < duration:
+            now = time.time()
+            if now >= next_comms:
+                self._fetch_trajectory()
+                self._update_tier(now)
+                next_comms = now + comms_period
+            if self.tier is FailsafeTier.EMERGENCY:
+                await self.vehicle.emergency_stop()
+                break
+            state = self.vehicle.step()
+            ticks += 1
+            if ticks % 20 == 0:
+                self.log_rows.append(
+                    {
+                        "t": float(state.timestamp),
+                        "x": float(state.position[0]),
+                        "y": float(state.position[1]),
+                        "z": float(state.position[2]),
+                        "tier": self.tier.value,
+                    }
+                )
+            await asyncio.sleep(0)  # cooperative; vehicle.step is the clock
+        elapsed = time.time() - t_start
+        return {
+            "ticks": ticks,
+            "achieved_hz": ticks / max(elapsed, 1e-9),
+            "tier": self.tier.value,
+            "final_position": np.asarray(self.vehicle.get_state().position),
+            "log_rows": len(self.log_rows),
+        }
+
+    def stop(self) -> None:
+        self._running = False
+        self.client.close()
+
+
+async def main(duration: float = 10.0) -> Dict[str, Any]:
+    """(E:241-243)"""
+    edge = EdgeController()
+    try:
+        return await edge.run(duration)
+    finally:
+        edge.stop()

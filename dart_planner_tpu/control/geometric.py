@@ -65,6 +65,11 @@ class GeometricConfig(NamedTuple):
     yaw_singularity_threshold: float = 0.1
     default_heading_yaw: float = 0.0
     failsafe_trigger_count: int = 100
+    # "lee": standard desired frame b2 = b3 x c, b1 = b2 x b3 (identity at
+    # hover). "reference": bug-compatible b1 = c x b3 (reference
+    # geometric_controller.py:374), which yaws the desired frame -90 deg
+    # and commands a saturated yaw torque at hover.
+    yaw_convention: str = "lee"
 
 
 @struct.dataclass
@@ -130,7 +135,13 @@ def _desired_frame(config: GeometricConfig, b3_des: Array, yaw_des: Array) -> Ar
     cos_angle = jnp.abs(jnp.sum(c * b3_des, axis=-1))
     singular = cos_angle >= config.yaw_singularity_threshold
 
-    b1_normal_raw = jnp.cross(c, b3_des)
+    if config.yaw_convention == "reference":
+        # bug-compatible: b1 = c x b3 (see class docstring note)
+        b1_normal_raw = jnp.cross(c, b3_des)
+    else:
+        # standard Lee construction: b1 = (b3 x c) x b3 = c projected onto
+        # the plane perpendicular to b3 -> identity frame at hover
+        b1_normal_raw = jnp.cross(jnp.cross(b3_des, c), b3_des)
     n1 = jnp.linalg.norm(b1_normal_raw, axis=-1, keepdims=True)
     ok = n1 > 1e-6
     e1 = jnp.zeros_like(b3_des).at[..., 0].set(1.0)
@@ -149,17 +160,25 @@ def _desired_frame(config: GeometricConfig, b3_des: Array, yaw_des: Array) -> Ar
 
 
 def _tilt_limit(config: GeometricConfig, b3: Array) -> Array:
-    """Tilt-angle limiting (ref :491-496): scale x/y so the tilt equals
-    max_tilt_angle, renormalize. Masked to apply only when exceeded."""
+    """Tilt-angle limiting, azimuth-preserving.
+
+    The reference scales x/y by cos(max)/b3_z (ref :334-339) — when the
+    commanded direction dips below the horizon (b3_z <= 0) that scale is
+    negative and INVERTS the lateral direction, turning the position loop
+    into positive feedback. Here the over-tilt branch projects to the
+    max-tilt cone keeping the lateral azimuth: (sin_max * unit(xy),
+    cos_max), which equals the reference result whenever b3_z > 0.
+    """
     cos_max = jnp.cos(config.max_tilt_angle)
+    sin_max = jnp.sin(config.max_tilt_angle)
     over = b3[..., 2] < cos_max  # tilt angle > max
-    z_safe = jnp.where(jnp.abs(b3[..., 2]) > 1e-6, b3[..., 2], 1e-6)
-    scale = cos_max / z_safe
-    b3_lim = jnp.stack(
-        [b3[..., 0] * scale, b3[..., 1] * scale, jnp.full_like(b3[..., 2], cos_max)],
+    xy = b3[..., :2]
+    xy_norm = jnp.linalg.norm(xy, axis=-1, keepdims=True)
+    dir_xy = xy / jnp.maximum(xy_norm, 1e-9)
+    b3_lim = jnp.concatenate(
+        [sin_max * dir_xy, jnp.broadcast_to(cos_max, b3[..., 2:3].shape)],
         axis=-1,
     )
-    b3_lim = so3.normalize(b3_lim)
     return jnp.where(over[..., None], b3_lim, b3)
 
 
@@ -197,9 +216,13 @@ def compute_control(
     acc_pid = kp * pos_error + kd * vel_error + ki * state.integral_vel_error
     acc_des = setpoint.acceleration + acc_pid
 
-    # --- thrust vector and magnitude (ref :460-474) ---
+    # --- thrust vector and magnitude (ref :300-320) ---
+    # NOTE deviation: the reference computes thrust = ||acc_des - g||
+    # WITHOUT the mass factor (geometric_controller.py:301-302), which is
+    # only dimensionally correct for a 1 kg vehicle — flown against its own
+    # 1.5 kg simulator it steadily sinks. Newtons require m * ||a||.
     f_world = acc_des - gvec
-    thrust_mag_raw = jnp.linalg.norm(f_world, axis=-1)
+    thrust_mag_raw = config.mass * jnp.linalg.norm(f_world, axis=-1)
     min_thrust = config.min_thrust * config.mass * config.gravity
     thrust_mag = jnp.clip(thrust_mag_raw, min_thrust, config.max_thrust)
     thrust_saturated = thrust_mag_raw != thrust_mag

@@ -34,9 +34,9 @@ class SmootherConfig(NamedTuple):
     """Static smoother parameters (TS:19-26)."""
 
     transition_time: float = 0.5  # s, min-jerk blend duration
-    velocity_limit: float = 5.0  # m/s per-update velocity change limit
-    acceleration_limit: float = 3.0  # m/s^2 per-update accel change limit
-    jerk_limit: float = 10.0  # m/s^3
+    velocity_limit: float = 20.0  # m/s^2: max setpoint-velocity slew
+    acceleration_limit: float = 60.0  # m/s^3: max setpoint-accel slew
+    jerk_limit: float = 60.0  # m/s^3 bound on accel change (legacy knob)
     pos_jump_threshold: float = 0.5  # m (TS:151)
     vel_jump_threshold: float = 1.0  # m/s (TS:151)
     failsafe_timeout: float = 2.0  # s without a plan update (TS:176)
@@ -63,6 +63,7 @@ class SmootherState:
     last_pos: Array  # (3,) exponential-smoothing memory
     last_vel: Array  # (3,)
     last_acc: Array  # (3,)
+    last_call_time: Array  # () for real-dt rate limiting
     primed: Array  # () bool: smoothing memory valid
 
     @classmethod
@@ -86,6 +87,7 @@ class SmootherState:
             last_pos=v,
             last_vel=v,
             last_acc=v,
+            last_call_time=jnp.full(batch_shape, -1.0, dtype),
             primed=jnp.zeros(batch_shape, bool),
         )
 
@@ -133,10 +135,18 @@ def _min_jerk(p0, v0, p1, v1, T: float, tau: Array):
     return pos, vel, acc
 
 
-def _rate_limit(config: SmootherConfig, state: SmootherState, pos, vel, acc):
+def _rate_limit(
+    config: SmootherConfig, state: SmootherState, pos, vel, acc, dt
+):
     """Velocity/accel-change and jerk limits + exponential smoothing
-    (TS:66-113), masked by ``primed``."""
-    dt = config.smoothing_dt
+    (TS:66-113), masked by ``primed``.
+
+    Deviation from the reference: limits are applied over the REAL elapsed
+    time ``dt`` between calls instead of an assumed 100 Hz ``dt=0.01``
+    (TS:180), so behavior is invariant to the caller's loop rate — the
+    reference's per-call limiting makes setpoint ramps 4x slower at 400 Hz
+    than at 100 Hz.
+    """
 
     dv = vel - state.last_vel
     dv_mag = jnp.linalg.norm(dv, axis=-1, keepdims=True)
@@ -160,7 +170,7 @@ def _rate_limit(config: SmootherConfig, state: SmootherState, pos, vel, acc):
         acc,
     )
 
-    alpha = min(1.0, config.smoothing_dt / 0.1)
+    alpha = jnp.minimum(1.0, dt / 0.1)[..., None]
     primed = state.primed[..., None]
     pos = jnp.where(primed, alpha * pos + (1 - alpha) * state.last_pos, pos)
     vel = jnp.where(primed, alpha * vel + (1 - alpha) * state.last_vel, vel)
@@ -186,9 +196,22 @@ def update_trajectory(
         state.accelerations,
         t - state.traj_start_time,
     )
-    # start of the new plan
+    # start of the new plan (jump detection, TS:147-151)
     new_p = trajectory.positions[..., 0, :]
     new_v = trajectory.velocities[..., 0, :]
+    # transition TARGET: where the new plan will be when the blend ends.
+    # (The reference blends toward the plan's t=0 point — i.e. toward the
+    # vehicle's own current state — so during sustained acceleration the
+    # velocity-jump check re-fires every splice and the command never
+    # advances into the plan. Aiming at plan(t + transition_time) keeps the
+    # splice C2-consistent AND progressing.)
+    tgt_p, tgt_v, _ = _interpolate(
+        trajectory.timestamps,
+        trajectory.positions,
+        trajectory.velocities,
+        trajectory.accelerations,
+        jnp.asarray(config.transition_time, state.positions.dtype),
+    )
 
     pos_diff = jnp.linalg.norm(new_p - old_p, axis=-1)
     vel_diff = jnp.linalg.norm(new_v - old_v, axis=-1)
@@ -209,8 +232,8 @@ def update_trajectory(
         transition_start_time=jnp.where(start_transition, t, state.transition_start_time),
         trans_p0=jnp.where(start_transition[..., None], old_p, state.trans_p0),
         trans_v0=jnp.where(start_transition[..., None], old_v, state.trans_v0),
-        trans_p1=jnp.where(start_transition[..., None], new_p, state.trans_p1),
-        trans_v1=jnp.where(start_transition[..., None], new_v, state.trans_v1),
+        trans_p1=jnp.where(start_transition[..., None], tgt_p, state.trans_p1),
+        trans_v1=jnp.where(start_transition[..., None], tgt_v, state.trans_v1),
     )
 
 
@@ -227,6 +250,11 @@ def get_desired_state(
     ``failsafe_timeout`` (TS:175-177) or no plan at all.
     """
     t = jnp.asarray(current_time, state.positions.dtype)
+
+    dt_real = jnp.clip(
+        t - state.last_call_time, config.smoothing_dt * 0.1, 0.1
+    )
+    dt_real = jnp.where(state.primed, dt_real, config.smoothing_dt)
 
     # normal interpolation of the active plan
     pos_n, vel_n, acc_n = _interpolate(
@@ -253,7 +281,7 @@ def get_desired_state(
     vel = jnp.where(use_trans[..., None], vel_t, vel_n)
     acc = jnp.where(use_trans[..., None], acc_t, acc_n)
 
-    pos, vel, acc = _rate_limit(config, state, pos, vel, acc)
+    pos, vel, acc = _rate_limit(config, state, pos, vel, acc, dt_real)
 
     # failsafe hold (stale comms or no plan yet)
     stale = (t - state.last_update_time) > config.failsafe_timeout
@@ -267,6 +295,7 @@ def get_desired_state(
         last_pos=pos,
         last_vel=vel,
         last_acc=acc,
+        last_call_time=t,
         primed=jnp.ones_like(state.primed),
     )
     return (pos, vel, acc), new_state

@@ -36,8 +36,11 @@ class ClosedLoopConfig(NamedTuple):
     control: geometric.GeometricConfig = geometric.GeometricConfig(
         mass=1.5, max_thrust=25.0
     )
-    control_dt: float = 0.02  # 50 Hz inner loop
-    substeps_per_plan: int = 5  # -> replans at 10 Hz
+    # 400 Hz control (reference rate): with saturated torque authority of
+    # ~270 rad/s^2 the attitude loop limit-cycles at coarser control rates
+    control_dt: float = 0.0025
+    physics_substeps: int = 1  # integration substeps per control tick
+    substeps_per_plan: int = 40  # -> replans at 10 Hz
     num_replans: int = 60  # 6 s episode
     goal_tolerance: float = 1.0  # m (test_monte_carlo_sim.py criterion)
     sensor_noise_std: float = 0.0  # m / m s^-1 position/velocity noise
@@ -127,9 +130,13 @@ def simulate_episode(
             cmd, cs3 = geometric.compute_control(
                 config.control, cs2, ds, sp, config.control_dt
             )
-            rb3 = phys.rigid_body_step(
-                config.physics, rb2, cmd, config.control_dt, wind
-            )
+            # sub-step the plant: the attitude loop is fast (~21 rad/s at
+            # hardware.yaml inertia); one Euler step per control tick is
+            # numerically unstable
+            h = config.control_dt / config.physics_substeps
+            rb3 = rb2
+            for _ in range(config.physics_substeps):
+                rb3 = phys.rigid_body_step(config.physics, rb3, cmd, h, wind)
             dist = jnp.linalg.norm(rb3.position - goal)
             track_err = jnp.sum((rb3.position - sp.position) ** 2)
             return (rb3, cs3, t2 + config.control_dt), (dist, track_err, rb3.position[2])

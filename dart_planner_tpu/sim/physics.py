@@ -36,7 +36,9 @@ class PhysicsConfig(NamedTuple):
 
     mass: float = 1.5  # kg
     gravity: float = 9.81
-    inertia: tuple = (0.1, 0.1, 0.2)  # diag, kg m^2
+    # hardware.yaml inertia (the reference DroneSimulator hard-codes a 5x
+    # heavier diag(0.1,0.1,0.2) inconsistent with its own controller tuning)
+    inertia: tuple = (0.02, 0.02, 0.04)  # diag, kg m^2
     max_thrust: float = 20.0  # N
     max_torque: float = 10.0  # N m
     drag_coefficient: float = 0.0  # linear drag / mass

@@ -45,10 +45,9 @@ def test_follows_trajectory():
         pos_mid, vel_mid, _ = sm.get_desired_state(t, ds)
     # halfway through a 1.9 s straight line: x ~ 5 (smoothing lags slightly)
     assert 3.0 < float(pos_mid[0]) < 6.0
-    # velocity feedforward ramps slowly: the reference's change limiter
-    # (velocity_limit*dt per call) compounds with its exponential smoothing
-    # to ~0.5 m/s after 1 s — reproduced faithfully here
-    assert 0.3 < float(vel_mid[0]) < 2.0
+    # velocity feedforward tracks the plan through time-based slew limits
+    # + exponential smoothing (plan cruise is ~5.3 m/s; the filter lags)
+    assert 1.5 < float(vel_mid[0]) < 6.0
 
 
 def test_interpolation_clamps_at_end():
