@@ -30,3 +30,17 @@ __all__ = [
     "create_safety_task",
     "quartic_scheduler_context",
 ]
+
+from dart_planner_tpu.runtime.rt_executor import (  # noqa: E402
+    PythonControlLoop,
+    RealTimeControlLoop,
+    create_control_loop,
+    native_available,
+)
+
+__all__ += [
+    "PythonControlLoop",
+    "RealTimeControlLoop",
+    "create_control_loop",
+    "native_available",
+]
