@@ -225,3 +225,46 @@ def obstacle_gn_hessian(
         )  # (..., N, 3, N); axes never couple, so spread with delta_ab
         H_u = H_u + tmp[..., None] * jnp.eye(3, dtype=u.dtype)[None, :, None, :]
     return H_u
+
+
+def penalty_blocks(
+    u: Array,
+    prob: Problem,
+    weights: CostWeights,
+    dt: float,
+    mass: float,
+    gravity_vec: Array,
+    include_obstacles: bool = True,
+) -> tuple[Array, Array]:
+    """Per-step GN blocks of the hinge penalties, in position/velocity space.
+
+    Returns ``(Hp, Hv_diag)`` with ``Hp`` (..., N, 3, 3) position-space
+    blocks (obstacles + ground) and ``Hv_diag`` (..., N, 3) diagonal
+    velocity-space entries (velocity-envelope hinge). These feed the
+    matrix-free Newton-CG in the solver; the full thrust-space Hessian
+    (:func:`obstacle_gn_hessian`) is never materialized on the hot path —
+    building its (..., 3N, 3N) tensor dominated solve time at batch 4096.
+    """
+    pos, vel, _ = dynamics.rollout_linear(u, prob.p0, prob.v0, dt, mass, gravity_vec)
+    N_h = u.shape[-2]
+    Hp = jnp.zeros(u.shape[:-2] + (N_h, 3, 3), u.dtype)
+    if include_obstacles:
+        centers = prob.obstacles[..., :3]
+        r_safe = prob.obstacles[..., 3]
+        diff = pos[..., :, None, :] - centers[..., None, :, :]
+        d = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-9)
+        active = (
+            (r_safe[..., None, :] > d) & prob.obstacle_mask[..., None, :]
+        ).astype(u.dtype)
+        n = diff / d[..., None]
+        Hp = Hp + 2.0 * weights.obstacle * jnp.einsum(
+            "...nka,...nkb,...nk->...nab", n, n, active
+        )
+    if weights.ground > 0.0:
+        g_active = (pos[..., 2] < weights.ground_altitude).astype(u.dtype)
+        Hp = Hp.at[..., 2, 2].add(2.0 * weights.ground * g_active)
+    Hv_diag = jnp.zeros(u.shape[:-2] + (N_h, 3), u.dtype)
+    if weights.velocity_bound > 0.0:
+        v_active = (jnp.abs(vel) > weights.max_velocity).astype(u.dtype)
+        Hv_diag = 2.0 * weights.velocity_bound * v_active
+    return Hp, Hv_diag

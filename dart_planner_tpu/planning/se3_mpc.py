@@ -69,6 +69,7 @@ class SE3MPCConfig(NamedTuple):
 
     max_iterations: int = 12
     convergence_tolerance: float = 5e-2
+    cg_iterations: int = 25  # inner PCG iterations per Newton step
 
     ground_weight: float = 50000.0  # ground-clearance hinge (novel vs reference)
     min_altitude: float = 0.3  # m
@@ -206,14 +207,17 @@ def solve_se3_mpc(
     batch = u.shape[:-2]
     n_flat = 3 * N
 
-    # Constant quadratic Hessian, expanded (N,N) per-axis -> (3N, 3N) in
-    # (step, axis) flattened layout. Computed once per config (cached).
+    # Constant quadratic Hessian per axis (N, N); the 3 axes never couple
+    # in the quadratic terms. Computed once per config (cached).
     H_axis = jnp.asarray(
         costs.quadratic_hessian(N, dt, mass, config.gravity, w), dtype
     )
-    H_quad = jnp.einsum("ij,ab->iajb", H_axis, jnp.eye(3, dtype=dtype)).reshape(
-        n_flat, n_flat
-    )
+    diag_quad = jnp.broadcast_to(jnp.diag(H_axis)[:, None], (N, 3))
+    S_p_np, S_v_np, _ = dynamics.rollout_matrices(N, float(dt))
+    Sp = jnp.asarray(S_p_np, dtype) / mass
+    Sv = jnp.asarray(S_v_np, dtype) / mass
+    hi = jax.lax.Precision.HIGHEST
+    use_penalties = use_obstacles or w.ground > 0.0 or w.velocity_bound > 0.0
 
     def cost_fn(uu):
         return costs.condensed_cost(uu, prob, w, dt, mass, gvec)
@@ -230,27 +234,65 @@ def solve_se3_mpc(
         eps = 1e-6
         at_lo = (u <= lb_full + eps) & (g > 0)
         at_hi = (u >= ub_full - eps) & (g < 0)
-        active = (at_lo | at_hi).reshape(batch + (n_flat,))
+        free = (~(at_lo | at_hi)).astype(dtype)  # (..., N, 3)
 
-        H = H_quad
-        if use_obstacles or w.ground > 0.0 or w.velocity_bound > 0.0:
-            H_pen = costs.obstacle_gn_hessian(
+        # Matrix-free Newton step via Jacobi-preconditioned CG on the free
+        # subspace. The (3N, 3N) Hessian is never formed: the quadratic
+        # part is a per-axis (N, N) matmul and the penalty GN part is a
+        # pullback through S_p / S_v of per-step 3x3 blocks — all small
+        # MXU einsums, so cost scales with batch, not n^3.
+        if use_penalties:
+            Hp, Hv = costs.penalty_blocks(
                 u, prob, w, dt, mass, gvec, include_obstacles=use_obstacles
             )
-            H = H + H_pen.reshape(batch + (n_flat, n_flat))
         else:
-            H = jnp.broadcast_to(H, batch + (n_flat, n_flat))
+            Hp = Hv = None
 
-        free = ~active
-        free_f = free.astype(dtype)
-        # Mask active rows/cols; put 1 on active diagonal to keep H PD.
-        Hm = H * free_f[..., :, None] * free_f[..., None, :]
-        Hm = Hm + jnp.eye(n_flat, dtype=dtype) * active.astype(dtype)[..., None, :]
-        gm = g.reshape(batch + (n_flat,)) * free_f
+        def matvec(dv):
+            dv = dv * free
+            out = jnp.einsum("ij,...jd->...id", H_axis, dv, precision=hi)
+            if Hp is not None:
+                y = jnp.einsum("kj,...jd->...kd", Sp, dv, precision=hi)
+                z = jnp.einsum("...kab,...kb->...ka", Hp, y, precision=hi)
+                out = out + jnp.einsum("ki,...ka->...ia", Sp, z, precision=hi)
+                yv = jnp.einsum("kj,...jd->...kd", Sv, dv, precision=hi)
+                out = out + jnp.einsum(
+                    "ki,...ka->...ia", Sv, Hv * yv, precision=hi
+                )
+            return out * free
 
-        chol = jnp.linalg.cholesky(Hm + 1e-6 * jnp.eye(n_flat, dtype=dtype))
-        d = -jax.scipy.linalg.cho_solve((chol, True), gm[..., None])[..., 0]
-        d = (d * free_f).reshape(batch + (N, 3))
+        diag = diag_quad
+        if Hp is not None:
+            Hp_diag = jnp.diagonal(Hp, axis1=-2, axis2=-1)  # (..., N, 3)
+            diag = diag + jnp.einsum(
+                "ki,...ka->...ia", Sp * Sp, Hp_diag, precision=hi
+            )
+            diag = diag + jnp.einsum("ki,...ka->...ia", Sv * Sv, Hv, precision=hi)
+        minv = free / jnp.maximum(diag, 1e-8)
+
+        b = -(g * free)
+
+        def cg_body(_, carry):
+            d, r, z, p, rz = carry
+            ap = matvec(p)
+            pap = jnp.sum(p * ap, axis=(-1, -2), keepdims=True)
+            alpha = rz / jnp.maximum(pap, 1e-12)
+            d = d + alpha * p
+            r = r - alpha * ap
+            z = minv * r
+            rz_new = jnp.sum(r * z, axis=(-1, -2), keepdims=True)
+            beta = rz_new / jnp.maximum(rz, 1e-12)
+            p = z + beta * p
+            return d, r, z, p, rz_new
+
+        r0 = b
+        z0 = minv * r0
+        rz0 = jnp.sum(r0 * z0, axis=(-1, -2), keepdims=True)
+        d0 = jnp.zeros_like(b)
+        d, *_ = jax.lax.fori_loop(
+            0, config.cg_iterations, cg_body, (d0, r0, z0, z0, rz0)
+        )
+        d = d * free
 
         # Vectorized projected line search: evaluate all candidate steps,
         # keep the lowest cost (never worse than alpha -> 0 / current cost).
