@@ -55,7 +55,9 @@ class Problem(NamedTuple):
 
     p0: Array  # (..., 3) current position
     v0: Array  # (..., 3) current velocity
-    goal: Array  # (..., 3) goal position
+    goal: Array  # (..., 3) goal position, or (..., N, 3) per-step
+    # reference trajectory (tracking mode — beyond the reference planner,
+    # which only supports a single goal point)
     obstacles: Array  # (..., K, 4): cx, cy, cz, r_safe (radius + margin)
     obstacle_mask: Array  # (..., K) bool
 
@@ -95,13 +97,19 @@ def condensed_cost(
     # gravity_vec z-component is negative in ENU; hover magnitude is m * |g|.
     hover = jnp.array([0.0, 0.0, 1.0], dtype=u.dtype) * (mass * jnp.abs(gravity_vec[2]))
 
-    pe = pos - prob.goal[..., None, :]
+    goal = prob.goal
+    # per-step reference iff goal carries one more axis than the state
+    # (p0 rank is the true batch rank; pos may carry extra candidate axes
+    # from the vectorized line search, so compare against p0, not pos)
+    if goal.ndim != prob.p0.ndim + 1:
+        goal = goal[..., None, :]  # single point -> broadcast over horizon
+    pe = pos - goal
     J = w.position * jnp.sum(pe * pe, axis=(-1, -2))
     J += w.velocity * jnp.sum(vel * vel, axis=(-1, -2))
     J += w.acceleration * jnp.sum(acc * acc, axis=(-1, -2))
     du = u - hover
     J += w.thrust * jnp.sum(du * du, axis=(-1, -2))
-    term = pos[..., -1, :] - prob.goal
+    term = pos[..., -1, :] - goal[..., -1, :]
     J += w.terminal * w.position * jnp.sum(term * term, axis=-1)
     J += w.obstacle * obstacle_penalty(pos, prob.obstacles, prob.obstacle_mask)
     if w.ground > 0.0:

@@ -1,0 +1,42 @@
+"""Security service layer (thin, optional — SURVEY.md section 2.8).
+
+Functional rebuild of the reference ``src/dart_planner/security/``:
+JWT-style RS256 tokens with roles/permissions (auth.py), a token-bucket /
+lockout rate limiter (rate_limiter.py), input validation helpers
+(validation.py), and file-integrity verification (file_verification.py).
+Implemented on the stdlib + ``cryptography`` (PyJWT is not in this
+image); peripheral to the TPU compute path by design.
+"""
+
+from dart_planner_tpu.security.auth import (
+    AuthManager,
+    Role,
+    TokenError,
+    User,
+    generate_rsa_keypair,
+)
+from dart_planner_tpu.security.rate_limiter import RateLimitConfig, RateLimiter
+from dart_planner_tpu.security.validation import (
+    validate_identifier,
+    validate_position,
+    validate_waypoints,
+)
+from dart_planner_tpu.security.file_verification import (
+    compute_file_digest,
+    verify_file_digest,
+)
+
+__all__ = [
+    "AuthManager",
+    "Role",
+    "TokenError",
+    "User",
+    "generate_rsa_keypair",
+    "RateLimitConfig",
+    "RateLimiter",
+    "validate_identifier",
+    "validate_position",
+    "validate_waypoints",
+    "compute_file_digest",
+    "verify_file_digest",
+]

@@ -1,0 +1,119 @@
+"""Baseline scenario tests: figure-8 tracking, checkpoint/resume, and the
+reference's CI latency gates (test_real_time_latency.py thresholds)."""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dart_planner_tpu.planning import se3_mpc
+from dart_planner_tpu.sim import ClosedLoopConfig
+from dart_planner_tpu.sim.checkpoint import load_checkpoint, run_sweep
+from dart_planner_tpu.sim.scenarios import (
+    figure8_tracking,
+    hover_to_waypoint,
+    mapper_navigation,
+)
+
+FAST_MPC = se3_mpc.SE3MPCConfig(prediction_horizon=10, max_iterations=6)
+
+
+def test_hover_to_waypoint_scenario():
+    res = hover_to_waypoint()
+    assert np.linalg.norm(np.asarray(res.positions)[-1] - [5, 0, 3]) < 0.5
+
+
+def test_mapper_navigation_scenario():
+    res, mapper = mapper_navigation(config=FAST_MPC)
+    pos = np.asarray(res.positions)
+    assert np.isfinite(pos).all()
+    assert mapper.get_mapping_stats()["occupied_voxels"] > 0
+    # trajectory clears the mapped scene
+    assert mapper.is_trajectory_safe(pos, safety_margin=0.2, threshold=0.8)
+
+
+@pytest.mark.slow
+def test_figure8_tracking_error():
+    """BASELINE config 3; reference tracking error 0.1-0.8 m (README:288)."""
+    res = figure8_tracking(mpc=FAST_MPC, num_replans=300)  # 6 s = half figure
+    rmse = float(res.tracking_rmse)
+    # per-step reference tracking: well inside the reference's 0.1-0.8 m
+    assert rmse < 0.5, rmse
+    assert float(res.max_error) < 1.0
+    assert np.isfinite(np.asarray(res.positions)).all()
+
+
+def test_checkpoint_resume(tmp_path):
+    cfg = ClosedLoopConfig(mpc=FAST_MPC, num_replans=20)
+    path = tmp_path / "sweep.npz"
+    # run the first chunk only
+    ck1 = run_sweep(
+        cfg, total_scenarios=8, chunk=4,
+        start_center=(0.0, 0.0, 3.0), goal_center=(3.0, 0.0, 4.0),
+        checkpoint_path=path, max_chunks=1,
+    )
+    assert ck1.scenario_cursor == 4
+    saved = load_checkpoint(path)
+    assert saved.scenario_cursor == 4
+    # resume to completion
+    ck2 = run_sweep(
+        cfg, total_scenarios=8, chunk=4,
+        start_center=(0.0, 0.0, 3.0), goal_center=(3.0, 0.0, 4.0),
+        checkpoint_path=path,
+    )
+    assert ck2.scenario_cursor == 8
+    assert 0.0 <= ck2.success_rate <= 1.0
+
+
+# ---- latency gates (reference test_real_time_latency.py:109-120) ----
+@pytest.mark.slow
+def test_latency_gates():
+    """p95 planning < 50 ms; p95 control < 5 ms; total < 50 ms — the
+    reference's CI thresholds, measured here on CPU (the weakest target;
+    on-chip numbers are far lower, see bench.py)."""
+    from dart_planner_tpu.control import geometric
+    from dart_planner_tpu.common.types import DroneState
+
+    config = se3_mpc.SE3MPCConfig()
+    rng = np.random.default_rng(0)
+    prob0 = se3_mpc.make_problem(
+        np.zeros(3, np.float32), np.zeros(3, np.float32),
+        np.asarray([5, 0, 3], np.float32), config=config)
+    u = se3_mpc.initialize_thrusts(config, prob0)
+    r = se3_mpc.solve_se3_mpc(config, prob0, u)
+    jax.block_until_ready(r.thrusts)
+
+    plan_times = []
+    for k in range(30):
+        goal = rng.normal(0, 5, 3).astype(np.float32) + [0, 0, 5]
+        prob = se3_mpc.make_problem(
+            np.zeros(3, np.float32), np.zeros(3, np.float32), goal, config=config)
+        t0 = time.perf_counter()
+        r = se3_mpc.solve_se3_mpc(config, prob, u)
+        jax.block_until_ready(r.thrusts)
+        plan_times.append((time.perf_counter() - t0) * 1e3)
+
+    # the 1 kHz control path belongs to the C++ executor in this
+    # architecture (per-call Python jit dispatch is not the control loop);
+    # gate its measured execution time like the reference gates its
+    # Cython loop (test_rt_control_extension.py)
+    from dart_planner_tpu.runtime.rt_executor import create_control_loop
+
+    loop = create_control_loop(400.0)
+    loop.set_gains([7, 7, 8.5], [0.35, 0.35, 0.7], [4.2, 4.2, 5.6],
+                   [8, 8, 4], [0, 0, 0], [2, 2, 1])
+    loop.set_state([0, 0, 2], [0, 0, 0], [0, 0, 0], [0, 0, 0])
+    loop.set_setpoint([0, 0, 2.5], [0, 0, 0], [0, 0, 0], [0, 0, 0], 14.7)
+    loop.start()
+    time.sleep(0.5)
+    stats = loop.get_stats()
+    loop.stop()
+
+    p95_plan = float(np.percentile(plan_times, 95))
+    ctrl_exec = stats["max_execution_time_ms"]
+    assert p95_plan < 50.0, f"planning p95 {p95_plan:.1f} ms"
+    assert ctrl_exec < 5.0, f"control max exec {ctrl_exec:.3f} ms"
+    assert stats["mean_execution_time_ms"] < 2.0, stats
+    assert p95_plan + ctrl_exec < 50.0
