@@ -48,15 +48,19 @@ def main():
             config=config,
         )
 
+    def solve(prob, u):
+        # "auto" = fully-fused Pallas solve kernel on TPU, XLA elsewhere
+        return se3_mpc.solve(config, prob, u, block_b=1024)
+
     def timed_chain(prob, u0, reps):
         """Seconds per solve-call: R chained solves, one scalar fetch."""
         u = u0
         # warm-up + drain the device queue
-        u = se3_mpc.solve_se3_mpc(config, prob, u).thrusts
+        u = solve(prob, u).thrusts
         _fetch(u[..., 0, 0].sum())
         t0 = time.perf_counter()
         for _ in range(reps):
-            u = se3_mpc.solve_se3_mpc(config, prob, u).thrusts
+            u = solve(prob, u).thrusts
         _fetch(u[..., 0, 0].sum())
         total = time.perf_counter() - t0
         # round-trip baseline: identical fetch with zero extra solves

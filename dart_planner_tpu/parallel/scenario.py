@@ -74,7 +74,7 @@ def shard_scenarios(prob: costs.Problem, mesh: Mesh) -> costs.Problem:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("config", "mesh", "use_obstacles")
+    jax.jit, static_argnames=("config", "mesh", "use_obstacles", "method")
 )
 def solve_fleet(
     config: se3_mpc.SE3MPCConfig,
@@ -82,13 +82,16 @@ def solve_fleet(
     prob: costs.Problem,
     u_init: Optional[Array] = None,
     use_obstacles: bool = True,
+    method: str = "auto",
 ) -> tuple[se3_mpc.SolveResult, FleetStats]:
     """Solve a sharded scenario fleet and reduce fleet statistics.
 
     ``prob`` must have one leading batch axis divisible by the mesh size.
     The solve itself is embarrassingly parallel (no communication); the
     returned :class:`FleetStats` are psum-reduced across the whole mesh so
-    every host sees global numbers without a host-side gather.
+    every host sees global numbers without a host-side gather. ``method``
+    picks the per-shard solver (``"fused"`` Pallas kernel on TPU, ``"xla"``
+    elsewhere under ``"auto"`` — see :func:`se3_mpc.solve`).
     """
     if u_init is None:
         u_init = se3_mpc.initialize_thrusts(config, prob)
@@ -96,8 +99,8 @@ def solve_fleet(
     spec = P(BATCH_AXES)
 
     def local_solve(prob_l: costs.Problem, u0_l: Array):
-        res = se3_mpc.solve_se3_mpc(
-            config, prob_l, u0_l, use_obstacles=use_obstacles
+        res = se3_mpc.solve(
+            config, prob_l, u0_l, use_obstacles=use_obstacles, method=method
         )
         n = jnp.asarray(res.cost.shape[0], jnp.float32)
         stats = FleetStats(

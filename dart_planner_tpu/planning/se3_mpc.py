@@ -316,25 +316,73 @@ def solve_se3_mpc(
         return u_next
 
     u = jax.lax.fori_loop(0, config.max_iterations, body, u)
+    return _finalize(config, prob, u)
 
-    # Diagnostics: projected gradient norm (criticality measure for box QP).
-    g = grad_fn(u)
+
+def _finalize(config: SE3MPCConfig, prob: costs.Problem, u: Array) -> SolveResult:
+    """Diagnostics + dynamics-consistent rollout for a final thrust iterate
+    (shared by the XLA and fused-Pallas solver paths)."""
+    N = config.prediction_horizon
+    dtype = u.dtype
+    gvec = frames.gravity_vector(frames.WorldFrame.ENU, config.gravity).astype(dtype)
+    w = config.weights
+    batch = u.shape[:-2]
+    n_flat = 3 * N
+    lb, ub = config.thrust_bounds(dtype)
+    lb_full = jnp.broadcast_to(lb, (N, 3))
+    ub_full = jnp.broadcast_to(ub, (N, 3))
+
+    # projected gradient norm (criticality measure for the box QP)
+    g = costs.condensed_grad(u, prob, w, config.dt, config.mass, gvec)
     pg = jnp.clip(u - g, lb_full, ub_full) - u
-    grad_norm = jnp.linalg.norm(
-        pg.reshape(batch + (n_flat,)), axis=-1
-    )
+    grad_norm = jnp.linalg.norm(pg.reshape(batch + (n_flat,)), axis=-1)
     converged = grad_norm < config.convergence_tolerance * n_flat
 
-    pos, vel, acc = dynamics.rollout_linear(u, prob.p0, prob.v0, dt, mass, gvec)
+    pos, vel, acc = dynamics.rollout_linear(
+        u, prob.p0, prob.v0, config.dt, config.mass, gvec
+    )
     return SolveResult(
         thrusts=u,
         positions=pos,
         velocities=vel,
         accelerations=acc,
-        cost=cost_fn(u),
+        cost=costs.condensed_cost(u, prob, w, config.dt, config.mass, gvec),
         converged=converged,
         grad_norm=grad_norm,
     )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "use_obstacles", "method", "block_b")
+)
+def solve(
+    config: SE3MPCConfig,
+    prob: costs.Problem,
+    u_init: Optional[Array] = None,
+    use_obstacles: bool = True,
+    method: str = "auto",
+    block_b: int = 256,
+) -> SolveResult:
+    """Solve dispatcher: ``"fused"`` = single fused Pallas kernel (TPU),
+    ``"xla"`` = pure-XLA path, ``"auto"`` = fused on TPU, XLA elsewhere.
+    Both paths run the identical algorithm and agree to float tolerance."""
+    if method == "auto":
+        method = "fused" if jax.default_backend() == "tpu" else "xla"
+    if method == "xla":
+        return solve_se3_mpc(config, prob, u_init, use_obstacles)
+    from dart_planner_tpu.ops import pallas_mpc
+
+    if u_init is None:
+        u_init = initialize_thrusts(config, prob)
+    u = pallas_mpc.solve_thrusts_fused(
+        config,
+        prob,
+        u_init,
+        use_obstacles=use_obstacles,
+        block_b=block_b,
+        interpret=jax.default_backend() != "tpu",
+    )
+    return _finalize(config, prob, u)
 
 
 def extract_trajectory(
