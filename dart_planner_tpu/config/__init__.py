@@ -44,3 +44,11 @@ __all__ = [
     "load_vehicle_params",
     "compute_max_torque_xyz",
 ]
+
+from dart_planner_tpu.config.airframe import (  # noqa: E402
+    AirframeConfig,
+    AirframeConfigManager,
+    get_airframe_config,
+)
+
+__all__ += ["AirframeConfig", "AirframeConfigManager", "get_airframe_config"]

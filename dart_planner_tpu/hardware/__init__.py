@@ -45,5 +45,32 @@ __all__ = [
     "LatencyBuffer",
 ]
 from dart_planner_tpu.hardware.safety import SafetyLimits, SafetyManager  # noqa: E402
+from dart_planner_tpu.hardware.motor_calibration import (  # noqa: E402
+    CalibrationResult,
+    MotorLatencyCalibrator,
+    calibrate_motor_latency,
+)
+from dart_planner_tpu.hardware.secure_interface import (  # noqa: E402
+    ConnectionState,
+    SecureHardwareInterface,
+    create_secure_interface,
+)
+from dart_planner_tpu.hardware.airsim_interface import (  # noqa: E402
+    AirSimConfig,
+    AirSimDroneInterface,
+    AirSimVehicleIO,
+)
 
-__all__ += ["SafetyLimits", "SafetyManager"]
+__all__ += [
+    "SafetyLimits",
+    "SafetyManager",
+    "CalibrationResult",
+    "MotorLatencyCalibrator",
+    "calibrate_motor_latency",
+    "ConnectionState",
+    "SecureHardwareInterface",
+    "create_secure_interface",
+    "AirSimConfig",
+    "AirSimDroneInterface",
+    "AirSimVehicleIO",
+]

@@ -444,15 +444,23 @@ def is_plan_valid(trajectory: Trajectory) -> Array:
     return valid
 
 
-class SE3MPCPlanner:
+from dart_planner_tpu.planning.base import BasePlanner  # noqa: E402
+
+
+class SE3MPCPlanner(BasePlanner):
     """Thin stateful facade matching the reference planner's ergonomics
     (set_goal / add_obstacle / plan_trajectory,
     se3_mpc_planner.py:175-228) over the pure solver. Keeps the warm-start
     thrust sequence and planning stats; all math happens in
-    :func:`solve_se3_mpc` under jit.
+    :func:`solve_se3_mpc` under jit. Registered as ``"se3_mpc"`` in
+    :class:`~dart_planner_tpu.planning.base.PlannerFactory`
+    (reference se3_mpc_planner.py:760-762).
     """
 
-    def __init__(self, config: SE3MPCConfig | None = None):
+    def __init__(self, config: SE3MPCConfig | dict | None = None):
+        if isinstance(config, dict):
+            config = SE3MPCConfig(**config)
+        super().__init__(config._asdict() if config else None)
         self.config = config or SE3MPCConfig()
         self.goal_position: Optional[np.ndarray] = None
         self._obstacles: list[tuple[np.ndarray, float]] = []

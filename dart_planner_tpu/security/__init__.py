@@ -40,3 +40,37 @@ __all__ = [
     "compute_file_digest",
     "verify_file_digest",
 ]
+
+from dart_planner_tpu.security.key_derivation import (  # noqa: E402
+    KeyDerivationError,
+    OSKeyStoreError,
+    derive_key_from_passphrase,
+    derive_key_from_scrypt,
+    generate_secure_key,
+    validate_key_strength,
+)
+from dart_planner_tpu.security.key_manager import (  # noqa: E402
+    KeyConfig,
+    SecureKeyManager,
+    get_key_manager,
+    set_key_manager,
+)
+from dart_planner_tpu.security.credentials import (  # noqa: E402
+    Credential,
+    SecureCredentialManager,
+)
+
+__all__ += [
+    "KeyDerivationError",
+    "OSKeyStoreError",
+    "derive_key_from_passphrase",
+    "derive_key_from_scrypt",
+    "generate_secure_key",
+    "validate_key_strength",
+    "KeyConfig",
+    "SecureKeyManager",
+    "get_key_manager",
+    "set_key_manager",
+    "Credential",
+    "SecureCredentialManager",
+]
