@@ -74,3 +74,7 @@ __all__ += [
     "Credential",
     "SecureCredentialManager",
 ]
+
+from dart_planner_tpu.security.db import UserService  # noqa: E402
+
+__all__ += ["UserService"]
