@@ -52,22 +52,27 @@ def main():
         # "auto" = fully-fused Pallas solve kernel on TPU, XLA elsewhere
         return se3_mpc.solve(config, prob, u, block_b=1024)
 
-    def timed_chain(prob, u0, reps):
-        """Seconds per solve-call: R chained solves, one scalar fetch."""
-        u = u0
-        # warm-up + drain the device queue
-        u = solve(prob, u).thrusts
+    def timed_chain(prob, u0, reps, passes=3):
+        """Seconds per solve-call: R chained solves, one scalar fetch.
+        Takes the fastest of several passes — the tunnel RTT is noisy
+        (25-55 ms observed), so single passes over/under-correct."""
+        best = float("inf")
+        rtt_best = float("inf")
+        u = solve(prob, u0).thrusts  # warm-up + drain the device queue
         _fetch(u[..., 0, 0].sum())
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            u = solve(prob, u).thrusts
-        _fetch(u[..., 0, 0].sum())
-        total = time.perf_counter() - t0
-        # round-trip baseline: identical fetch with zero extra solves
-        t0 = time.perf_counter()
-        _fetch(u[..., 0, 0].sum())
-        rtt = time.perf_counter() - t0
-        return max(total - rtt, 1e-9) / reps, rtt
+        for _ in range(passes):
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                u = solve(prob, u).thrusts
+            _fetch(u[..., 0, 0].sum())
+            total = time.perf_counter() - t0
+            # round-trip baseline: identical fetch with zero extra solves
+            t0 = time.perf_counter()
+            _fetch(u[..., 0, 0].sum())
+            rtt = time.perf_counter() - t0
+            best = min(best, max(total - rtt, 1e-9) / reps)
+            rtt_best = min(rtt_best, rtt)
+        return best, rtt_best
 
     # --- batched throughput, 4096 scenarios ---
     batch = 4096

@@ -69,7 +69,12 @@ class SE3MPCConfig(NamedTuple):
 
     max_iterations: int = 12
     convergence_tolerance: float = 5e-2
-    cg_iterations: int = 25  # inner PCG iterations per Newton step
+    # Inner PCG iterations per Newton step. cond(H_quad) ~ 300 with the
+    # Jacobi preconditioner; measured on randomized obstacle batches,
+    # 10 inner iterations matches or beats 25 on convergence rate and
+    # p95 cost-vs-ground-truth (the CG loop dominates solve FLOPs, so
+    # this sets throughput almost 1:1).
+    cg_iterations: int = 10
 
     ground_weight: float = 50000.0  # ground-clearance hinge (novel vs reference)
     min_altitude: float = 0.3  # m
