@@ -86,6 +86,13 @@ def main():
     u1 = se3_mpc.initialize_thrusts(config, prob1)
     lat_s, _ = timed_chain(prob1, u1, reps=100)
 
+    # --- 100k+ fleet (BASELINE config 5, single-chip share) ---
+    fleet = 131072
+    prob_f = jax.device_put(problem(fleet))
+    u_f = se3_mpc.initialize_thrusts(config, prob_f)
+    per_fleet, _ = timed_chain(prob_f, u_f, reps=6, passes=2)
+    fleet_rate = fleet / per_fleet
+
     print(
         json.dumps(
             {
@@ -95,6 +102,7 @@ def main():
                 "vs_baseline": round(solves_per_s / 1000.0, 3),
                 "single_solve_device_ms": round(lat_s * 1e3, 4),
                 "single_solve_budget_ms": 50.0,
+                "fleet_131072_solves_per_s": round(fleet_rate, 1),
                 "batch_step_ms": round(per_call * 1e3, 3),
                 "tunnel_rtt_ms": round(rtt * 1e3, 2),
                 "device": str(jax.devices()[0].platform),
