@@ -6,27 +6,33 @@ line search — with every intermediate living in VMEM. The pure-XLA path
 (:func:`dart_planner_tpu.planning.se3_mpc.solve_se3_mpc`) launches dozens
 of kernels per Newton iteration and round-trips (batch, 3N) state through
 HBM each time; at horizon N=20 the per-solve working set is ~1 KB, so that
-path is entirely launch/bandwidth bound (~2% of chip peak). Fusing the
-whole solve removes the HBM traffic and launch overhead and turns every
-linear map into a shared (3N, 3N) MXU matmul against a lane-major scenario
-block.
+path is entirely launch/bandwidth bound (~2% of chip peak).
 
-Data layout ("rows on sublanes, scenarios on lanes"):
+Data layout ("rows on sublanes, scenarios on lanes, groups stacked"):
 
-- decision/state vectors are ``(NP, B_blk)`` with row index ``a * N + k``
-  (axis-major: x steps 0..N-1, then y, then z), zero-padded to ``NP``
-  (next multiple of 8) rows; scenario batch occupies the 128-wide lane
-  dimension.
-- all linear maps (quadratic Hessian, rollout maps S_p / S_v and their
-  transposes) are constant ``(NP, NP)`` block-diagonal matrices shared by
-  every scenario — ideal MXU shape ``(NP, NP) @ (NP, B_blk)``.
-- per-step 3x3 obstacle Gauss-Newton blocks are six ``(N, B)`` arrays
-  (symmetric block entries) applied element-wise on the VPU.
+- a single scenario's decision/state vector occupies ``NP1`` rows
+  (``3 N`` axis-major entries — x steps 0..N-1, then y, then z — padded
+  to a multiple of 8);
+- ``G`` *independent scenarios* are stacked in the sublane dimension
+  (``NP2 = G * NP1`` rows, default G=2 → 128 rows for N=20), each lane
+  column holding G scenarios. All linear maps become ``(NP2, NP2)``
+  block-diagonal matrices, so every matmul is a full 128-row MXU tile —
+  a 64-row operand uses only a quarter of the 128x128 systolic array,
+  and group-stacking doubles effective utilization;
+- per-scenario scalars (CG step sizes, line-search costs) are per-group
+  slice reductions + broadcast-concats on the VPU (``gsum``/``gexpand``)
+  — a plain sublane reduction would sum *across* stacked scenarios, and
+  a 0/1-matrix matmul would cost a full MXU pass.
+
+Measured note: with the whole solve fused, the kernel is VPU-bound, not
+MXU-bound — G=2 full-tile matmuls at half the lanes time the same as G=1
+quarter-tile matmuls, so the default is G=1; the group machinery remains
+for shapes where the balance differs (e.g. much larger horizons).
 
 Algorithm and semantics are identical to ``solve_se3_mpc`` (same cost
 model as reference se3_mpc_planner.py:516-550 with binding hinge
 penalties; same Newton/CG/line-search schedule), so the two paths agree
-to float32 tolerance — tests/test_pallas_mpc.py checks this on the CPU
+to float tolerance — tests/test_pallas_mpc.py checks this on the CPU
 interpreter.
 """
 
@@ -48,25 +54,27 @@ _HI = jax.lax.Precision.HIGHEST
 # Line-search candidates (must match planning.se3_mpc._ALPHAS).
 _ALPHAS = (1.0, 0.5, 0.25, 0.1, 0.03, 0.01)
 
-
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _block_diag3(m: np.ndarray, np_rows: int) -> np.ndarray:
-    """(N, N) per-axis map -> (NP, NP) block-diagonal over the 3 axes."""
-    n = m.shape[0]
-    out = np.zeros((np_rows, np_rows), np.float32)
-    for a in range(3):
-        out[a * n : (a + 1) * n, a * n : (a + 1) * n] = m
+def _block_diag(blocks: list, rows: int) -> np.ndarray:
+    out = np.zeros((rows, rows), np.float32)
+    at = 0
+    for b in blocks:
+        n = b.shape[0]
+        out[at : at + n, at : at + n] = b
+        at += n
     return out
 
 
 @functools.lru_cache(maxsize=32)
-def _static_operands(config) -> dict:
-    """Per-config constants: block-diagonal maps and row vectors (numpy)."""
+def _static_operands(config, G: int) -> dict:
+    """Per-config constants: group-stacked block-diagonal maps and row
+    vectors (numpy)."""
     N = config.prediction_horizon
-    NP = _round_up(3 * N, 8)
+    NP1 = _round_up(3 * N, 8)
+    NP2 = G * NP1
     S_p, S_v, t = dynamics.rollout_matrices(N, float(config.dt))
     m = config.mass
     Spm = (S_p / m).astype(np.float32)
@@ -74,23 +82,30 @@ def _static_operands(config) -> dict:
     w = config.weights
     H = costs.quadratic_hessian(N, config.dt, m, config.gravity, w)
 
+    def bd3(mat):  # one scenario: block-diag over 3 axes, padded to NP1
+        b = _block_diag([mat.astype(np.float32)] * 3, NP1)
+        return _block_diag([b] * G, NP2)
+
     ops = {
-        "H3": _block_diag3(H.astype(np.float32), NP),
-        "Spm3": _block_diag3(Spm, NP),
-        "Spm3T": _block_diag3(Spm.T, NP),
-        "Svm3": _block_diag3(Svm, NP),
-        "Svm3T": _block_diag3(Svm.T, NP),
-        "Sp2T": _block_diag3((Spm * Spm).T, NP),
-        "Sv2T": _block_diag3((Svm * Svm).T, NP),
+        "H3": bd3(H),
+        "Spm3": bd3(Spm),
+        "Spm3T": bd3(Spm.T),
+        "Svm3": bd3(Svm),
+        "Svm3T": bd3(Svm.T),
+        "Sp2T": bd3((Spm * Spm).T),
+        "Sv2T": bd3((Svm * Svm).T),
     }
 
-    # (NP, 1) row-vector constants (zero on padded rows).
-    def rows(fn):
-        v = np.zeros((NP, 1), np.float32)
+    # per-scenario (NP1,) row constants, then tiled over the G groups
+    def rows1(fn):
+        v = np.zeros(NP1, np.float32)
         for a in range(3):
             for k in range(N):
-                v[a * N + k, 0] = fn(a, k)
+                v[a * N + k] = fn(a, k)
         return v
+
+    def tiled(fn):
+        return np.tile(rows1(fn), G)[:, None]  # (NP2, 1)
 
     hover = config.mass * config.gravity
     mtt = config.max_thrust * float(np.sin(config.max_tilt_angle))
@@ -98,35 +113,41 @@ def _static_operands(config) -> dict:
     ub = np.array([mtt, mtt, config.max_thrust], np.float32)
     g_enu = np.array([0.0, 0.0, -config.gravity], np.float32)
     term = float(w.terminal)
-    ops["hover"] = rows(lambda a, k: hover if a == 2 else 0.0)
-    ops["lb"] = rows(lambda a, k: lb[a])
-    ops["ub"] = rows(lambda a, k: ub[a])
-    ops["g_acc"] = rows(lambda a, k: g_enu[a])
-    # position-error weight per row: w_p, plus terminal multiplier at k=N-1
-    ops["wp_row"] = rows(
+    ops["hover"] = tiled(lambda a, k: hover if a == 2 else 0.0)
+    ops["lb"] = tiled(lambda a, k: lb[a])
+    ops["ub"] = tiled(lambda a, k: ub[a])
+    ops["g_acc"] = tiled(lambda a, k: g_enu[a])
+    ops["wp_row"] = tiled(
         lambda a, k: w.position * (1.0 + (term if k == N - 1 else 0.0))
     )
-    ops["diag_quad"] = np.ascontiguousarray(
-        np.diag(ops["H3"])[:, None]
-    ).astype(np.float32)
-    # rollout drift terms that multiply p0 / v0 per row
-    ops["t_row"] = rows(lambda a, k: float(t[k]))
-    # gravity contribution to pos/vel: S_p @ g (per axis), constant
+    ops["zrow"] = tiled(lambda a, k: 1.0 if a == 2 else 0.0)  # z-axis rows
+    ops["diag_quad"] = np.ascontiguousarray(np.diag(ops["H3"])[:, None])
+
+    # per-scenario rollout drift constants, flat (NP1,)
+    ops["t_row1"] = rows1(lambda a, k: float(t[k]))
     spg = S_p @ np.ones(N)
     svg = S_v @ np.ones(N)
-    ops["spg"] = rows(lambda a, k: float(spg[k]) * g_enu[a])
-    ops["svg"] = rows(lambda a, k: float(svg[k]) * g_enu[a])
-    ops["NP"] = NP
+    ops["spg1"] = rows1(lambda a, k: float(spg[k]) * g_enu[a])
+    ops["svg1"] = rows1(lambda a, k: float(svg[k]) * g_enu[a])
+
+    ops["NP1"] = NP1
+    ops["NP2"] = NP2
     return ops
 
 
-def _solver_kernel(config, use_obstacles: bool, NP: int, KP: int, fast_cg: bool = True):
+def _solver_kernel(
+    config,
+    use_obstacles: bool,
+    NP1: int,
+    KP: int,
+    G: int,
+    fast_cg: bool = True,
+):
     """Build the kernel body (all config scalars close over as constants)."""
     N = config.prediction_horizon
     w = config.weights
     inv_m = 1.0 / config.mass
-    n_alphas = len(_ALPHAS)
-    pad_rows = NP - 3 * N
+    pad_rows = NP1 - 3 * N
 
     w_obs = float(w.obstacle)
     w_g = float(w.ground)
@@ -137,14 +158,18 @@ def _solver_kernel(config, use_obstacles: bool, NP: int, KP: int, fast_cg: bool 
     use_vel_hinge = w_vb > 0.0
     use_penalties = use_obstacles or use_ground or use_vel_hinge
 
-    def axes(x):
-        """Split (NP, B) into per-axis (N, B) row blocks."""
-        return x[0:N], x[N : 2 * N], x[2 * N : 3 * N]
+    def g_axes(x, g):
+        """Group g's per-axis (N, B) row blocks of an (NP2, B) array."""
+        o = g * NP1
+        return x[o : o + N], x[o + N : o + 2 * N], x[o + 2 * N : o + 3 * N]
 
-    def cat_axes(x, y, z):
-        parts = [x, y, z]
-        if pad_rows:
-            parts.append(jnp.zeros((pad_rows, x.shape[1]), x.dtype))
+    def cat_groups(per_group):
+        """[[gx, gy, gz], ...] per group -> (NP2, B)."""
+        parts = []
+        for gx, gy, gz in per_group:
+            parts += [gx, gy, gz]
+            if pad_rows:
+                parts.append(jnp.zeros((pad_rows, gx.shape[1]), gx.dtype))
         return jnp.concatenate(parts, axis=0)
 
     def mm(a, b):
@@ -154,8 +179,7 @@ def _solver_kernel(config, use_obstacles: bool, NP: int, KP: int, fast_cg: bool 
         """Reduced-precision matmul (single MXU pass, bf16 inputs) for the
         CG matvec only: the inexact-Newton direction tolerates ~1e-2
         relative error because the projected line search guards descent
-        and the fp32 gradient/cost decide convergence. ~3x fewer MXU
-        passes than Precision.HIGHEST on the dominant FLOP sink."""
+        and the fp32 gradient/cost decide convergence."""
         return jnp.dot(
             a, b,
             precision=jax.lax.Precision.DEFAULT,
@@ -183,6 +207,7 @@ def _solver_kernel(config, use_obstacles: bool, NP: int, KP: int, fast_cg: bool 
         ub_ref,
         gacc_ref,
         wp_ref,
+        zrow_ref,
         dq_ref,
         out_ref,
     ):
@@ -201,10 +226,30 @@ def _solver_kernel(config, use_obstacles: bool, NP: int, KP: int, fast_cg: bool 
         ub = ub_ref[:]
         g_rep = gacc_ref[:]
         wp_row = wp_ref[:]
+        zrow = zrow_ref[:]
         diag_quad = dq_ref[:]
         if use_obstacles:
             obs = obs_ref[:]
             omask = mask_ref[:]
+
+        def gsum(x):
+            """Per-scenario sublane sums: (NP2, B) -> list of G (1, B).
+            A plain sublane reduction would sum across the stacked
+            scenarios; per-group slice-sums stay on the VPU (a matmul
+            against a 0/1 matrix costs a full MXU pass regardless of its
+            tiny contraction dim — lanes set the cycle count)."""
+            return [
+                jnp.sum(x[g * NP1 : (g + 1) * NP1], axis=0, keepdims=True)
+                for g in range(G)
+            ]
+
+        def gexpand(ss):
+            """Per-scenario scalars back to rows: G x (1, B) -> (NP2, B)
+            via broadcast + concat (VPU only)."""
+            B = ss[0].shape[1]
+            return jnp.concatenate(
+                [jnp.broadcast_to(s, (NP1, B)) for s in ss], axis=0
+            )
 
         def rollout(uu):
             pos = C_pos + mm(Spm3, uu)
@@ -213,67 +258,75 @@ def _solver_kernel(config, use_obstacles: bool, NP: int, KP: int, fast_cg: bool 
             return pos, vel, acc
 
         def obstacle_terms(pos, want_grad: bool, want_gn: bool):
-            """Cost (1,B), pos-space gradient (NP,B), 6 GN block arrays."""
-            px, py, pz = axes(pos)
+            """Per-group cost rows (GP, B), pos-space gradient (NP2, B),
+            per-group GN block arrays."""
             B = pos.shape[1]
-            J = jnp.zeros((1, B), pos.dtype)
-            gx = gy = gz = 0.0
-            hxx = hyy = hzz = hxy = hxz = hyz = 0.0
-            for o in range(KP):
-                cx = obs[o : o + 1]
-                cy = obs[KP + o : KP + o + 1]
-                cz = obs[2 * KP + o : 2 * KP + o + 1]
-                r = obs[3 * KP + o : 3 * KP + o + 1]
-                mo = omask[o : o + 1]
-                dx = px - cx
-                dy = py - cy
-                dz = pz - cz
-                d = jnp.sqrt(dx * dx + dy * dy + dz * dz + 1e-9)
-                viol = jnp.maximum(r - d, 0.0) * mo
-                J = J + jnp.sum(viol * viol, axis=0, keepdims=True)
+            J_rows = []
+            grads = []
+            gns = []
+            for g in range(G):
+                px, py, pz = g_axes(pos, g)
+                J = jnp.zeros((1, B), pos.dtype)
+                gx = gy = gz = 0.0
+                hxx = hyy = hzz = hxy = hxz = hyz = 0.0
+                for o in range(KP):
+                    base = g * 4 * KP
+                    cx = obs[base + o : base + o + 1]
+                    cy = obs[base + KP + o : base + KP + o + 1]
+                    cz = obs[base + 2 * KP + o : base + 2 * KP + o + 1]
+                    r = obs[base + 3 * KP + o : base + 3 * KP + o + 1]
+                    mo = omask[g * KP + o : g * KP + o + 1]
+                    dx = px - cx
+                    dy = py - cy
+                    dz = pz - cz
+                    d = jnp.sqrt(dx * dx + dy * dy + dz * dz + 1e-9)
+                    viol = jnp.maximum(r - d, 0.0) * mo
+                    J = J + jnp.sum(viol * viol, axis=0, keepdims=True)
+                    if want_grad:
+                        coef = (2.0 * w_obs) * viol / d
+                        gx = gx - coef * dx
+                        gy = gy - coef * dy
+                        gz = gz - coef * dz
+                    if want_gn:
+                        act = ((r > d).astype(d.dtype) * mo) * (2.0 * w_obs)
+                        inv_d2 = act / (d * d)
+                        hxx = hxx + inv_d2 * dx * dx
+                        hyy = hyy + inv_d2 * dy * dy
+                        hzz = hzz + inv_d2 * dz * dz
+                        hxy = hxy + inv_d2 * dx * dy
+                        hxz = hxz + inv_d2 * dx * dz
+                        hyz = hyz + inv_d2 * dy * dz
+                J_rows.append(w_obs * J)
                 if want_grad:
-                    coef = (2.0 * w_obs) * viol / d
-                    gx = gx - coef * dx
-                    gy = gy - coef * dy
-                    gz = gz - coef * dz
+                    zero = jnp.zeros_like(px)
+                    grads.append((gx + zero, gy + zero, gz + zero))
                 if want_gn:
-                    act = ((r > d).astype(d.dtype) * mo) * (2.0 * w_obs)
-                    inv_d2 = act / (d * d)
-                    hxx = hxx + inv_d2 * dx * dx
-                    hyy = hyy + inv_d2 * dy * dy
-                    hzz = hzz + inv_d2 * dz * dz
-                    hxy = hxy + inv_d2 * dx * dy
-                    hxz = hxz + inv_d2 * dx * dz
-                    hyz = hyz + inv_d2 * dy * dz
-            J = w_obs * J
-            grad = None
-            if want_grad:
-                grad = cat_axes(
-                    gx + jnp.zeros_like(px),
-                    gy + jnp.zeros_like(px),
-                    gz + jnp.zeros_like(px),
-                )
-            gn = (hxx, hyy, hzz, hxy, hxz, hyz) if want_gn else None
-            return J, grad, gn
+                    gns.append((hxx, hyy, hzz, hxy, hxz, hyz))
+            grad = cat_groups(grads) if want_grad else None
+            return J_rows, grad, gns
 
         def cost_terms(pos, vel, acc, uu):
-            """Total cost (1, B) from precomputed rollout."""
+            """Per-scenario total cost (GP, B) from a precomputed rollout.
+            All quadratic/hinge terms are an elementwise cost *density*
+            over rows, group-summed in one matmul."""
             pe = pos - goal
-            J = jnp.sum(wp_row * pe * pe, axis=0, keepdims=True)
-            J = J + w.velocity * jnp.sum(vel * vel, axis=0, keepdims=True)
-            J = J + w.acceleration * jnp.sum(acc * acc, axis=0, keepdims=True)
             du = uu - hover
-            J = J + w.thrust * jnp.sum(du * du, axis=0, keepdims=True)
-            if use_obstacles:
-                Jo, _, _ = obstacle_terms(pos, False, False)
-                J = J + Jo
+            D = (
+                wp_row * pe * pe
+                + w.velocity * vel * vel
+                + w.acceleration * acc * acc
+                + w.thrust * du * du
+            )
             if use_ground:
-                _, _, pz = axes(pos)
-                gv = jnp.maximum(z_min - pz, 0.0)
-                J = J + w_g * jnp.sum(gv * gv, axis=0, keepdims=True)
+                gv = jnp.maximum(z_min - pos, 0.0) * zrow
+                D = D + w_g * gv * gv
             if use_vel_hinge:
                 vv = jnp.maximum(jnp.abs(vel) - v_max, 0.0)
-                J = J + w_vb * jnp.sum(vv * vv, axis=0, keepdims=True)
+                D = D + w_vb * vv * vv
+            J = gsum(D)
+            if use_obstacles:
+                Jo, _, _ = obstacle_terms(pos, False, False)
+                J = [a + b for a, b in zip(J, Jo)]
             return J
 
         def newton_body(_, u):
@@ -282,19 +335,26 @@ def _solver_kernel(config, use_obstacles: bool, NP: int, KP: int, fast_cg: bool 
             # gradient in physical space, pulled back to thrust space
             gpos = 2.0 * wp_row * (pos - goal)
             if use_obstacles:
-                _, g_obs, gn = obstacle_terms(pos, True, True)
+                _, g_obs, gns = obstacle_terms(pos, True, True)
                 gpos = gpos + g_obs
-                hxx, hyy, hzz, hxy, hxz, hyz = gn
             else:
                 zero_nb = jnp.zeros((N, u.shape[1]), u.dtype)
-                hxx = hyy = hzz = hxy = hxz = hyz = zero_nb
+                gns = [(zero_nb,) * 6 for _ in range(G)]
             if use_ground:
-                _, _, pz = axes(pos)
-                gv = jnp.maximum(z_min - pz, 0.0)
-                gpos = gpos + cat_axes(
-                    jnp.zeros_like(gv), jnp.zeros_like(gv), -2.0 * w_g * gv
-                )
-                hzz = hzz + (2.0 * w_g) * (pz < z_min).astype(u.dtype)
+                gv = jnp.maximum(z_min - pos, 0.0) * zrow
+                gpos = gpos - 2.0 * w_g * gv
+                gz_active = (2.0 * w_g) * ((pos < z_min).astype(u.dtype))
+                gns = [
+                    (
+                        h[0],
+                        h[1],
+                        h[2] + g_axes(gz_active, g)[2],
+                        h[3],
+                        h[4],
+                        h[5],
+                    )
+                    for g, h in enumerate(gns)
+                ]
             gvel = 2.0 * w.velocity * vel
             if use_vel_hinge:
                 vv = jnp.maximum(jnp.abs(vel) - v_max, 0.0)
@@ -316,7 +376,7 @@ def _solver_kernel(config, use_obstacles: bool, NP: int, KP: int, fast_cg: bool 
             # Jacobi preconditioner diagonal
             diag = diag_quad + jnp.zeros_like(u)
             if use_penalties:
-                hp_diag = cat_axes(hxx, hyy, hzz)
+                hp_diag = cat_groups([(h[0], h[1], h[2]) for h in gns])
                 diag = diag + mm(Sp2T, hp_diag)
                 if use_vel_hinge:
                     diag = diag + mm(Sv2T, hv)
@@ -327,11 +387,18 @@ def _solver_kernel(config, use_obstacles: bool, NP: int, KP: int, fast_cg: bool 
                 out = mmc(H3, dv)
                 if use_penalties:
                     y = mmc(Spm3, dv)
-                    yx, yy_, yz = axes(y)
-                    zx = hxx * yx + hxy * yy_ + hxz * yz
-                    zy = hxy * yx + hyy * yy_ + hyz * yz
-                    zz = hxz * yx + hyz * yy_ + hzz * yz
-                    out = out + mmc(Spm3T, cat_axes(zx, zy, zz))
+                    zs = []
+                    for g in range(G):
+                        yx, yy_, yz = g_axes(y, g)
+                        hxx, hyy, hzz, hxy, hxz, hyz = gns[g]
+                        zs.append(
+                            (
+                                hxx * yx + hxy * yy_ + hxz * yz,
+                                hxy * yx + hyy * yy_ + hyz * yz,
+                                hxz * yx + hyz * yy_ + hzz * yz,
+                            )
+                        )
+                    out = out + mmc(Spm3T, cat_groups(zs))
                     if use_vel_hinge:
                         yv = mmc(Svm3, dv)
                         out = out + mmc(Svm3T, hv * yv)
@@ -340,20 +407,22 @@ def _solver_kernel(config, use_obstacles: bool, NP: int, KP: int, fast_cg: bool 
             b = -(grad * free)
             r0 = b
             z0 = minv * r0
-            rz0 = jnp.sum(r0 * z0, axis=0, keepdims=True)
+            rz0 = jnp.concatenate(gsum(r0 * z0), axis=0)  # (G, B)
             d0 = jnp.zeros_like(b)
 
             def cg_body(_, carry):
                 d, r, z, p, rz = carry
                 ap = matvec(p)
-                pap = jnp.sum(p * ap, axis=0, keepdims=True)
-                alpha = rz / jnp.maximum(pap, 1e-12)
-                d = d + alpha * p
-                r = r - alpha * ap
+                pap = jnp.concatenate(gsum(p * ap), axis=0)
+                alpha = rz / jnp.maximum(pap, 1e-12)  # (G, B)
+                alpha_rows = gexpand([alpha[g : g + 1] for g in range(G)])
+                d = d + alpha_rows * p
+                r = r - alpha_rows * ap
                 z = minv * r
-                rz_new = jnp.sum(r * z, axis=0, keepdims=True)
+                rz_new = jnp.concatenate(gsum(r * z), axis=0)
                 beta = rz_new / jnp.maximum(rz, 1e-12)
-                p = z + beta * p
+                beta_rows = gexpand([beta[g : g + 1] for g in range(G)])
+                p = z + beta_rows * p
                 return d, r, z, p, rz_new
 
             d, *_ = jax.lax.fori_loop(
@@ -363,14 +432,21 @@ def _solver_kernel(config, use_obstacles: bool, NP: int, KP: int, fast_cg: bool 
 
             # projected line search (current iterate is the fallback;
             # strict-improvement update == argmin with earliest-tie rule)
-            best_cost = cost_terms(pos, vel, acc, u)
+            best_cost = cost_terms(pos, vel, acc, u)  # list of G (1, B)
             best_u = u
-            for a in range(n_alphas):
+            for a in range(len(_ALPHAS)):
                 cand = jnp.clip(u + _ALPHAS[a] * d, lb, ub)
                 cJ = cost_terms(*rollout(cand), cand)
-                better = cJ < best_cost
-                best_cost = jnp.where(better, cJ, best_cost)
-                best_u = jnp.where(better, cand, best_u)
+                better = [cj < bc for cj, bc in zip(cJ, best_cost)]
+                best_cost = [
+                    jnp.where(bt, cj, bc)
+                    for bt, cj, bc in zip(better, cJ, best_cost)
+                ]
+                B = u.shape[1]
+                brows = jnp.concatenate(
+                    [jnp.broadcast_to(bt, (NP1, B)) for bt in better], axis=0
+                )
+                best_u = jnp.where(brows, cand, best_u)
             return best_u
 
         u = jax.lax.fori_loop(0, config.max_iterations, newton_body, u_ref[:])
@@ -379,58 +455,75 @@ def _solver_kernel(config, use_obstacles: bool, NP: int, KP: int, fast_cg: bool 
     return kernel
 
 
-def _transpose_rows(x: Array, NP: int) -> Array:
-    """(B, N, 3) -> (NP, B) axis-major rows, zero-padded."""
-    B, N, _ = x.shape
-    xt = jnp.transpose(x, (2, 1, 0)).reshape(3 * N, B)
-    return jnp.pad(xt, ((0, NP - 3 * N), (0, 0)))
+def _pack_rows(x: Array, nb: int, G: int, Bb: int) -> Array:
+    """Per-scenario rows (B_pad, R) -> group-stacked lanes (G*R, nb*Bb).
+
+    Lane column ``i*Bb + j`` of block ``i`` holds scenarios
+    ``i*G*Bb + g*Bb + j`` in group rows ``g*R..(g+1)*R``.
+    """
+    R = x.shape[1]
+    t = x.reshape(nb, G, Bb, R)
+    t = jnp.transpose(t, (1, 3, 0, 2))  # (G, R, nb, Bb)
+    return t.reshape(G * R, nb * Bb)
 
 
-def _untranspose_rows(xt: Array, N: int) -> Array:
-    """(NP, B) -> (B, N, 3)."""
-    B = xt.shape[1]
-    return jnp.transpose(xt[: 3 * N].reshape(3, N, B), (2, 1, 0))
+def _unpack_rows(xt: Array, nb: int, G: int, Bb: int) -> Array:
+    """(G*R, nb*Bb) -> per-scenario rows (B_pad, R)."""
+    R = xt.shape[0] // G
+    t = xt.reshape(G, R, nb, Bb)
+    t = jnp.transpose(t, (2, 0, 3, 1))  # (nb, G, Bb, R)
+    return t.reshape(nb * G * Bb, R)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "use_obstacles", "block_b", "interpret", "fast_cg"),
+    static_argnames=(
+        "config", "use_obstacles", "block_b", "interpret", "fast_cg", "groups",
+    ),
 )
 def solve_thrusts_fused(
     config,
     prob: costs.Problem,
     u_init: Array,
     use_obstacles: bool = True,
-    block_b: int = 256,
+    block_b: int = 1024,
     interpret: bool = False,
     fast_cg: bool = True,
+    groups: int = 1,
 ) -> Array:
     """Run the fused solve; returns final thrusts with ``u_init``'s shape.
 
     Accepts any leading batch shape (flattened internally); the scenario
-    batch is padded to a multiple of ``block_b`` lanes and blocked across a
-    1-D grid.
+    batch is padded to a multiple of ``groups * block_b`` and blocked
+    across a 1-D grid of ``block_b``-lane tiles with ``groups`` scenarios
+    stacked per lane column.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     N = config.prediction_horizon
-    ops = _static_operands(config)
-    NP = ops["NP"]
+    G = groups
+    ops = _static_operands(config, G)
+    NP1, NP2 = ops["NP1"], ops["NP2"]
     K = prob.obstacles.shape[-2]
     KP = _round_up(max(K, 1), 8)
 
     batch_shape = u_init.shape[:-2]
     B = int(np.prod(batch_shape, dtype=np.int64)) if batch_shape else 1
-    # never pad a small batch up to a large block (single-solve fast path)
-    block_b = min(block_b, _round_up(max(B, 1), 128))
-    Bp = _round_up(max(B, 1), block_b)
+    # never pad a small batch up to a large block (single-solve fast path);
+    # cap lanes so G * block_b * NP1 state fits VMEM (~16 MB scoped limit)
+    block_b = min(block_b, _round_up(max(B, 1), 128), 1024 // G * 1)
+    SB = G * block_b  # scenarios per block
+    B_pad = _round_up(max(B, 1), SB)
+    nb = B_pad // SB
+    L = nb * block_b  # total lanes
     dtype = jnp.float32
 
     def flat(x, trailing):
-        return jnp.broadcast_to(
-            jnp.asarray(x, dtype), batch_shape + trailing
-        ).reshape((B,) + trailing)
+        x = jnp.broadcast_to(jnp.asarray(x, dtype), batch_shape + trailing)
+        x = x.reshape((B,) + trailing)
+        pad = [(0, B_pad - B)] + [(0, 0)] * len(trailing)
+        return jnp.pad(x, pad)
 
     u0 = flat(u_init, (N, 3))
     p0 = flat(prob.p0, (3,))
@@ -439,47 +532,44 @@ def solve_thrusts_fused(
         goal = flat(prob.goal, (N, 3))
     else:
         goal = jnp.broadcast_to(
-            flat(prob.goal, (3,))[:, None, :], (B, N, 3)
+            flat(prob.goal, (3,))[:, None, :], (B_pad, N, 3)
         )
     obs = flat(prob.obstacles, (K, 4))
     omask = flat(prob.obstacle_mask.astype(dtype), (K,))
 
-    # rollout constants per scenario: C_pos = p0 + t v0 + S_p g,  C_vel = ...
-    t_row = jnp.asarray(ops["t_row"], dtype)  # (NP, 1)
-    spg = jnp.asarray(ops["spg"], dtype)
-    svg = jnp.asarray(ops["svg"], dtype)
+    def scen_rows(x):  # (B_pad, N, 3) -> (B_pad, NP1) axis-major rows
+        r = jnp.transpose(x, (0, 2, 1)).reshape(B_pad, 3 * N)
+        return jnp.pad(r, ((0, 0), (0, NP1 - 3 * N)))
 
-    def rep3(x):  # (B, 3) -> (NP, B) per-axis constant rows
-        xt = jnp.repeat(x.T, N, axis=0)  # (3N, B)
-        return jnp.pad(xt, ((0, NP - 3 * N), (0, 0)))
+    def rep_axes(x):  # (B_pad, 3) -> (B_pad, NP1): each axis repeated N
+        r = jnp.repeat(x, N, axis=1)
+        return jnp.pad(r, ((0, 0), (0, NP1 - 3 * N)))
 
-    C_pos = rep3(p0) + t_row * rep3(v0) + spg
-    C_vel = rep3(v0) + svg
-    u0_t = _transpose_rows(u0, NP)
-    goal_t = _transpose_rows(goal, NP)
+    t_row1 = jnp.asarray(ops["t_row1"], dtype)  # already (NP1,)
+    spg1 = jnp.asarray(ops["spg1"], dtype)
+    svg1 = jnp.asarray(ops["svg1"], dtype)
+    C_pos = rep_axes(p0) + t_row1 * rep_axes(v0) + spg1
+    C_vel = rep_axes(v0) + svg1
 
-    # obstacles: rows [cx*KP, cy*KP, cz*KP, r*KP]
-    obs_p = jnp.pad(obs, ((0, 0), (0, KP - K), (0, 0)))
-    obs_t = jnp.transpose(obs_p, (2, 1, 0)).reshape(4 * KP, B)
-    mask_t = jnp.pad(omask, ((0, 0), (0, KP - K))).T  # (KP, B)
+    obs_rows = jnp.pad(obs, ((0, 0), (0, KP - K), (0, 0)))
+    obs_rows = jnp.transpose(obs_rows, (0, 2, 1)).reshape(B_pad, 4 * KP)
+    mask_rows = jnp.pad(omask, ((0, 0), (0, KP - K)))
 
-    def pad_b(x):
-        return jnp.pad(x, ((0, 0), (0, Bp - B)))
-
+    pk = lambda x: _pack_rows(x, nb, G, block_b)  # noqa: E731
     per_block = [
-        pad_b(u0_t),
-        pad_b(C_pos),
-        pad_b(C_vel),
-        pad_b(goal_t),
-        pad_b(obs_t),
-        pad_b(mask_t),
+        pk(scen_rows(u0)),
+        pk(C_pos),
+        pk(C_vel),
+        pk(scen_rows(goal)),
+        pk(obs_rows),
+        pk(mask_rows),
     ]
     shared_names = ["H3", "Spm3", "Spm3T", "Svm3", "Svm3T", "Sp2T", "Sv2T"]
     shared = [jnp.asarray(ops[k], dtype) for k in shared_names]
-    vec_names = ["hover", "lb", "ub", "g_acc", "wp_row", "diag_quad"]
+    vec_names = ["hover", "lb", "ub", "g_acc", "wp_row", "zrow", "diag_quad"]
     vecs = [jnp.asarray(ops[k], dtype) for k in vec_names]
 
-    grid = (Bp // block_b,)
+    grid = (nb,)
     bspec = lambda rows: pl.BlockSpec(  # noqa: E731
         (rows, block_b), lambda i: (0, i), memory_space=pltpu.VMEM
     )
@@ -487,21 +577,22 @@ def solve_thrusts_fused(
         shape, lambda i: (0, 0), memory_space=pltpu.VMEM
     )
     in_specs = (
-        [bspec(NP)] * 4
-        + [bspec(4 * KP), bspec(KP)]
-        + [const_spec((NP, NP))] * len(shared)
-        + [const_spec((NP, 1))] * len(vecs)
+        [bspec(NP2)] * 4
+        + [bspec(G * 4 * KP), bspec(G * KP)]
+        + [const_spec(s.shape) for s in shared]
+        + [const_spec((NP2, 1))] * len(vecs)
     )
 
-    kernel = _solver_kernel(config, use_obstacles, NP, KP, fast_cg=fast_cg)
+    kernel = _solver_kernel(config, use_obstacles, NP1, KP, G, fast_cg=fast_cg)
     u_out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((NP, Bp), dtype),
+        out_shape=jax.ShapeDtypeStruct((NP2, L), dtype),
         grid=grid,
         in_specs=in_specs,
-        out_specs=bspec(NP),
+        out_specs=bspec(NP2),
         interpret=interpret,
     )(*per_block, *shared, *vecs)
 
-    u_final = _untranspose_rows(u_out[:, :B], N)
+    rows = _unpack_rows(u_out, nb, G, block_b)[:B, : 3 * N]  # (B, 3N)
+    u_final = jnp.transpose(rows.reshape(B, 3, N), (0, 2, 1))
     return u_final.reshape(batch_shape + (N, 3)).astype(u_init.dtype)

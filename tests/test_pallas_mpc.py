@@ -127,6 +127,22 @@ def test_dispatcher_auto_is_xla_on_cpu():
     assert np.isfinite(np.asarray(r.cost)).all()
 
 
+def test_group_stacking_matches_ungrouped(rng):
+    """groups=2 packs two scenarios per lane column; results must be
+    identical to groups=1 (packing only — no numeric change)."""
+    from dart_planner_tpu.ops import pallas_mpc
+
+    prob = _problem(rng, 6, CFG)
+    u0 = se3_mpc.initialize_thrusts(CFG, prob)
+    u1 = pallas_mpc.solve_thrusts_fused(
+        CFG, prob, u0, block_b=4, interpret=True, groups=1
+    )
+    u2 = pallas_mpc.solve_thrusts_fused(
+        CFG, prob, u0, block_b=4, interpret=True, groups=2
+    )
+    np.testing.assert_allclose(np.asarray(u2), np.asarray(u1), atol=1e-5)
+
+
 def test_block_padding_paths(rng):
     """Batch not divisible by block: padded lanes must not leak into the
     real scenarios."""
