@@ -12,10 +12,14 @@ API.
 
 Mode policy:
 
-- NOMINAL   (quality > 0.8): track the fresh cloud trajectory.
-- DEGRADED  (quality > 0.3): keep tracking the last cloud trajectory.
-- AUTONOMOUS (else)        : replan onboard toward the stored goal.
-- EMERGENCY (commanded or repeated local-plan failure): descend.
+- NOMINAL   (quality > 0.8, fresh cloud trajectory): track it.
+- DEGRADED  (quality > 0.3): track the last *cached* cloud trajectory
+  (the controller caches every trajectory it is handed, so a stalled
+  link degrades gracefully without caller-side caching).
+- AUTONOMOUS (else): replan onboard toward the stored goal.
+- EMERGENCY: latched by :meth:`trigger_emergency` or automatically after
+  ``max_plan_failures`` consecutive onboard replan failures; descends at
+  reduced thrust.
 """
 
 from __future__ import annotations
@@ -48,6 +52,7 @@ class OnboardAutonomousController:
         control_frequency: float = 10.0,
         planner_config: Optional[SE3MPCConfig] = None,
         replan_interval_s: float = 0.5,
+        max_plan_failures: int = 5,
     ):
         self.control_frequency = control_frequency
         self.current_mode = OperationalMode.AUTONOMOUS
@@ -56,6 +61,9 @@ class OnboardAutonomousController:
         self.control_loop_times: List[float] = []
         self.failsafe_activations = 0
         self.replan_interval_s = replan_interval_s
+        self.max_plan_failures = max_plan_failures
+        self._consecutive_plan_failures = 0
+        self._cached_cloud_trajectory: Optional[Trajectory] = None
 
         self._planner = SE3MPCPlanner(
             planner_config
@@ -91,7 +99,10 @@ class OnboardAutonomousController:
             return OperationalMode.EMERGENCY
         if connection_quality > 0.8 and cloud_trajectory is not None:
             return OperationalMode.NOMINAL
-        if connection_quality > 0.3 and cloud_trajectory is not None:
+        if connection_quality > 0.3 and (
+            cloud_trajectory is not None
+            or self._cached_cloud_trajectory is not None
+        ):
             return OperationalMode.DEGRADED
         return OperationalMode.AUTONOMOUS
 
@@ -103,6 +114,8 @@ class OnboardAutonomousController:
         connection_quality: float = 0.0,
     ) -> ControlCommand:
         start = time.perf_counter()
+        if cloud_trajectory is not None:
+            self._cached_cloud_trajectory = cloud_trajectory
         self.current_mode = self._select_mode(connection_quality, cloud_trajectory)
 
         if self.current_mode is OperationalMode.EMERGENCY:
@@ -112,7 +125,7 @@ class OnboardAutonomousController:
             OperationalMode.DEGRADED,
         ):
             cmd, _ = self._tracker.compute_control_command(
-                current_state, cloud_trajectory
+                current_state, cloud_trajectory or self._cached_cloud_trajectory
             )
         else:  # AUTONOMOUS: local replanning
             traj = self._local_plan(current_state)
@@ -144,8 +157,14 @@ class OnboardAutonomousController:
                     state, self.goal_position
                 )
                 self._last_replan_t = now
+                self._consecutive_plan_failures = 0
             except Exception:
                 self.failsafe_activations += 1
+                self._consecutive_plan_failures += 1
+                if self._consecutive_plan_failures >= self.max_plan_failures:
+                    # onboard planning is persistently failing: latch the
+                    # emergency descent rather than hovering blind forever
+                    self._emergency_latched = True
                 return None
         return self._local_trajectory
 

@@ -130,12 +130,8 @@ class OnboardController:
         """sense → plan → act (reference :172-180)."""
         dt, target_pos, _, target_accel = self.sense(current_state, trajectory)
         if dt <= 0:
-            return (
-                ControlCommand(
-                    thrust=np.float32(0.0), torque=np.zeros(3, np.float32)
-                ),
-                np.zeros(3),
-            )
+            # repeated/non-monotonic timestamp: hold hover, never cut motors
+            return self.get_fallback_command(current_state), target_pos
         roll, pitch, thrust = self.plan(current_state, target_pos, target_accel, dt)
         return self.act(current_state, roll, pitch, thrust, dt), target_pos
 

@@ -83,9 +83,11 @@ class CSRFMiddleware:
             async def send_with_cookie(message):
                 if message["type"] == "http.response.start" and not has_cookie:
                     token = secrets.token_hex(16)
+                    # NOTE: no HttpOnly attribute — per RFC 6265 its mere
+                    # presence (any value) marks the cookie http-only, and
+                    # the double-submit pattern requires JS to read it
                     cookie = (
-                        f"{self.cookie_name}={token}; Path=/; "
-                        "SameSite=Strict; HttpOnly=false"
+                        f"{self.cookie_name}={token}; Path=/; SameSite=Strict"
                     )
                     message = dict(message)
                     message["headers"] = list(message.get("headers", [])) + [
@@ -119,7 +121,7 @@ class SecureMiddleware:
 
     async def __call__(self, scope, receive, send):
         if scope["type"] != "http" or any(
-            p in scope.get("path", "") for p in self.EXEMPT_PATHS
+            scope.get("path", "").startswith(p) for p in self.EXEMPT_PATHS
         ):
             return await self.app(scope, receive, send)
         if scope["method"].upper() not in {"POST", "PUT", "PATCH"}:

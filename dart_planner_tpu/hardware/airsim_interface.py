@@ -103,7 +103,7 @@ class AirSimDroneInterface:
         p = kin.position
         v = kin.linear_velocity
         w = kin.angular_velocity
-        att = _quat_to_euler(kin.orientation)
+        att = _ned_euler_to_enu(_quat_to_euler(kin.orientation))
         state = DroneState.create(
             timestamp=time.time(),
             position=(p.y_val, p.x_val, -p.z_val),
@@ -198,6 +198,18 @@ class AirSimDroneInterface:
     @property
     def api_control_enabled(self) -> bool:
         return self._api_control
+
+
+def _ned_euler_to_enu(att_ned: tuple) -> tuple:
+    """NED roll/pitch/yaw -> ENU: roll unchanged, pitch negated, and
+    yaw_enu = pi/2 - yaw_ned (east-facing = 0 in ENU), wrapped to
+    (-pi, pi]. Positions/velocities are converted separately; without
+    this the attitude would stay in NED and lateral acceleration
+    commands would be rotated ~90 degrees."""
+    roll, pitch, yaw = att_ned
+    yaw_enu = np.pi / 2.0 - yaw
+    yaw_enu = float(np.arctan2(np.sin(yaw_enu), np.cos(yaw_enu)))
+    return roll, -pitch, yaw_enu
 
 
 def _quat_to_euler(q) -> tuple:

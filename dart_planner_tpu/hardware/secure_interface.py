@@ -72,12 +72,16 @@ class SecureHardwareInterface:
 
     # -- auth helpers --------------------------------------------------
     def _check(self, token: str, command_type: str) -> str:
-        """Validate token + permission; returns the username."""
+        """Validate token + permission; returns the username. The token
+        is RSA-verified once and the role read from its payload."""
+        from dart_planner_tpu.security.auth import ROLE_PERMISSIONS, Role
+
         perm = COMMAND_PERMISSIONS.get(command_type)
         if perm is None:
             raise UnsupportedCommandError(f"unknown command {command_type!r}")
         payload = self.auth.verify_token(token)
-        if not self.auth.has_permission(token, perm):
+        perms = ROLE_PERMISSIONS.get(Role(payload.get("role", "viewer")), [])
+        if "*" not in perms and perm not in perms:
             self._log(
                 HardwareCommand(command_type, {}, payload.get("sub", "?")),
                 "denied",
@@ -142,6 +146,9 @@ class SecureHardwareInterface:
         if command_type in ("set_mission", "send_trajectory"):
             return await self.vehicle.send_trajectory(params["trajectory"])
         if command_type == "emergency_stop":
+            # latch the software estop exactly as the dedicated method does
+            self._estop_engaged = True
+            self.state = ConnectionState.EMERGENCY_STOP
             await self.vehicle.emergency_stop()
             return True
         raise UnsupportedCommandError(command_type)

@@ -183,6 +183,13 @@ def shift_warm_start(config: SE3MPCConfig, u_prev: Array) -> Array:
 _ALPHAS = np.array([1.0, 0.5, 0.25, 0.1, 0.03, 0.01], dtype=np.float32)
 
 
+def _strip_obstacles(prob: costs.Problem) -> costs.Problem:
+    """Zero the obstacle mask so the penalty vanishes from cost, gradient,
+    Hessian, and reported diagnostics alike — ``use_obstacles=False`` must
+    mean the same thing on every solver path."""
+    return prob._replace(obstacle_mask=jnp.zeros_like(prob.obstacle_mask))
+
+
 @functools.partial(jax.jit, static_argnames=("config", "use_obstacles"))
 def solve_se3_mpc(
     config: SE3MPCConfig,
@@ -203,6 +210,8 @@ def solve_se3_mpc(
     gvec = frames.gravity_vector(frames.WorldFrame.ENU, config.gravity)
     w = config.weights
 
+    if not use_obstacles:
+        prob = _strip_obstacles(prob)
     if u_init is None:
         u_init = initialize_thrusts(config, prob)
     u = u_init
@@ -373,6 +382,8 @@ def solve(
     Both paths run the identical algorithm and agree to float tolerance."""
     if method == "auto":
         method = "fused" if jax.default_backend() == "tpu" else "xla"
+    if not use_obstacles:
+        prob = _strip_obstacles(prob)
     if method == "xla":
         return solve_se3_mpc(config, prob, u_init, use_obstacles)
     from dart_planner_tpu.ops import pallas_mpc
@@ -468,30 +479,28 @@ class SE3MPCPlanner(BasePlanner):
         super().__init__(config._asdict() if config else None)
         self.config = config or SE3MPCConfig()
         self.goal_position: Optional[np.ndarray] = None
-        self._obstacles: list[tuple[np.ndarray, float]] = []
         self.last_solution: Optional[Array] = None
         self.warm_start_enabled = True
-        self.plan_count = 0
-        self.planning_times: list[float] = []
-        self.convergence_history: list[bool] = []
+        # obstacle list + bounded stats live on BasePlanner
+        # (self.obstacles / self.planning_stats)
 
     # -- goal / obstacle management (reference :175-191) --
     def set_goal(self, goal_position) -> None:
         self.goal_position = np.asarray(goal_position, np.float32)
 
     def add_obstacle(self, center, radius: float) -> None:
-        if len(self._obstacles) >= self.config.max_obstacles:
+        if len(self.obstacles) >= self.config.max_obstacles:
             # keep the most recent K obstacles (static shape discipline)
-            self._obstacles.pop(0)
-        self._obstacles.append((np.asarray(center, np.float32), float(radius)))
+            self.obstacles.pop(0)
+        self.obstacles.append((np.asarray(center, np.float32), float(radius)))
 
     def clear_obstacles(self) -> None:
-        self._obstacles.clear()
+        self.obstacles.clear()
 
     def _problem(self, state: DroneState) -> costs.Problem:
-        if self._obstacles:
+        if self.obstacles:
             obs = np.stack(
-                [np.concatenate([c, [r]]) for c, r in self._obstacles]
+                [np.concatenate([c, [r]]) for c, r in self.obstacles]
             ).astype(np.float32)
         else:
             obs = None
@@ -518,30 +527,31 @@ class SE3MPCPlanner(BasePlanner):
         u0 = None
         if self.warm_start_enabled and self.last_solution is not None:
             u0 = shift_warm_start(self.config, self.last_solution)
-        result = solve_se3_mpc(
-            self.config, prob, u0, use_obstacles=bool(self._obstacles)
+        result = solve(
+            self.config, prob, u0, use_obstacles=bool(self.obstacles)
         )
         self.last_solution = result.thrusts
         traj = extract_trajectory(self.config, result, state.timestamp)
-        self.plan_count += 1
-        self.planning_times.append((_time.perf_counter() - t0) * 1000.0)
-        self.convergence_history.append(bool(jnp.all(result.converged)))
+        self._update_planning_stats(
+            (_time.perf_counter() - t0) * 1000.0,
+            success=bool(jnp.all(result.converged)),
+        )
         if not bool(jnp.all(is_plan_valid(traj))):
             return emergency_trajectory(self.config, state)
         return traj
 
     def get_planning_stats(self) -> dict:
-        """(reference se3_mpc_planner.py:696-708)"""
-        if not self.planning_times:
+        """(reference se3_mpc_planner.py:696-708); history is bounded by
+        BasePlanner (last 100 samples)."""
+        st = self.planning_stats
+        if not st["planning_times"]:
             return {}
         return {
-            "mean_planning_time_ms": float(np.mean(self.planning_times)),
-            "max_planning_time_ms": float(np.max(self.planning_times)),
-            "success_rate": float(np.mean(self.convergence_history)),
-            "total_plans": self.plan_count,
+            "mean_planning_time_ms": float(np.mean(st["planning_times"])),
+            "max_planning_time_ms": float(np.max(st["planning_times"])),
+            "success_rate": st["successful_plans"] / max(st["total_plans"], 1),
+            "total_plans": st["total_plans"],
         }
 
     def reset_performance_tracking(self) -> None:
-        self.planning_times.clear()
-        self.convergence_history.clear()
-        self.plan_count = 0
+        self.reset_stats()

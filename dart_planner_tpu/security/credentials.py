@@ -91,7 +91,9 @@ class SecureCredentialManager:
             ).encode()
         )
         tmp = self.path.with_suffix(".tmp")
-        tmp.write_bytes(blob)
+        fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o600)
+        with os.fdopen(fd, "wb") as f:
+            f.write(blob)
         os.replace(tmp, self.path)
         os.chmod(self.path, 0o600)
 

@@ -90,7 +90,11 @@ class SecureKeyManager:
             "revoked": self._revoked,
         }
         tmp = self.path.with_suffix(".tmp")
-        tmp.write_text(json.dumps(payload, indent=1))
+        # owner-only from the first byte: secrets must never transit a
+        # default-umask (e.g. 0644) temp file, even briefly
+        fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o600)
+        with os.fdopen(fd, "w") as f:
+            f.write(json.dumps(payload, indent=1))
         os.replace(tmp, self.path)  # atomic
         os.chmod(self.path, 0o600)
         self._loaded_mtime = self.path.stat().st_mtime

@@ -32,9 +32,14 @@ def test_mode_selection_by_connection_quality():
     assert ctl.current_mode is OperationalMode.NOMINAL
     ctl.compute_control_command(_state(0.1), traj, connection_quality=0.5)
     assert ctl.current_mode is OperationalMode.DEGRADED
+    # stalled link but a cached trajectory -> degrade, don't drop to
+    # autonomous (the controller caches every trajectory it is handed)
     ctl.compute_control_command(_state(0.2), None, connection_quality=0.9)
-    # no cloud trajectory -> autonomous even with good link
-    assert ctl.current_mode is OperationalMode.AUTONOMOUS
+    assert ctl.current_mode is OperationalMode.DEGRADED
+    # fresh controller with neither fresh nor cached trajectory
+    ctl2 = OnboardAutonomousController()
+    ctl2.compute_control_command(_state(), None, connection_quality=0.9)
+    assert ctl2.current_mode is OperationalMode.AUTONOMOUS
 
 
 def test_autonomous_mode_replans_locally():
@@ -77,3 +82,19 @@ def test_performance_stats_accumulate():
     stats = ctl.get_performance_stats()
     assert stats["total_loops"] == 3
     assert stats["mean_loop_time_ms"] > 0
+
+
+def test_repeated_plan_failures_latch_emergency():
+    ctl = OnboardAutonomousController(replan_interval_s=0.0, max_plan_failures=3)
+    ctl.set_goal((4.0, 0.0, 3.0))
+
+    def boom(*a, **k):
+        raise RuntimeError("solver down")
+
+    ctl._planner.plan_trajectory = boom
+    for i in range(3):
+        ctl.compute_control_command(_state(0.1 * i), None, connection_quality=0.0)
+    # the persistent failure latched the emergency descent
+    cmd = ctl.compute_control_command(_state(0.4), None, connection_quality=0.0)
+    assert ctl.current_mode is OperationalMode.EMERGENCY
+    assert float(cmd.thrust) < 9.81

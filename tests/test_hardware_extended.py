@@ -247,3 +247,38 @@ def test_secure_telemetry(secure_env):
     tele = shi.get_secure_telemetry(view_token)
     assert tele["connection_state"] == "connected"
     assert tele["emergency_stop_engaged"] is False
+
+
+def test_estop_latches_via_send_secure_command(secure_env):
+    """emergency_stop through the generic command channel must latch the
+    software estop exactly like the dedicated method."""
+    shi, op_token, _ = secure_env
+    run(shi.connect(op_token))
+    assert run(shi.send_secure_command(op_token, "emergency_stop"))
+    assert shi.get_connection_status()["emergency_stop_engaged"]
+    with pytest.raises(SecurityError):
+        run(shi.send_secure_command(op_token, "arm"))
+
+
+def test_airsim_attitude_ned_to_enu():
+    """East-facing drone: NED yaw=+pi/2 must become ENU yaw=0."""
+    import numpy as _np
+    from types import SimpleNamespace as NS
+
+    client = MockAirSimClient()
+    # NED quaternion for yaw=+pi/2 about D: (w, z) = (cos(pi/4), sin(pi/4))
+    q = NS(w_val=_np.cos(_np.pi / 4), x_val=0.0, y_val=0.0,
+           z_val=_np.sin(_np.pi / 4))
+    base = client.getMultirotorState()
+
+    def east_state(name=""):
+        k = base.kinematics_estimated
+        return NS(kinematics_estimated=NS(
+            position=k.position, linear_velocity=k.linear_velocity,
+            angular_velocity=k.angular_velocity, orientation=q))
+
+    client.getMultirotorState = east_state
+    iface = AirSimDroneInterface(client=client)
+    run(iface.connect())
+    st = run(iface.get_state())
+    assert abs(float(np.asarray(st.attitude)[2])) < 1e-6  # ENU yaw = 0

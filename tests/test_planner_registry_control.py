@@ -155,3 +155,21 @@ def test_onboard_interpolation_clamps():
     np.testing.assert_allclose(p, [0, 0, 2.0])
     p, _, _ = ctl._interpolate_trajectory(-1.0, traj)  # before start
     np.testing.assert_allclose(p, [0, 0, 2.0])
+
+
+def test_onboard_zero_dt_holds_hover():
+    """Repeated timestamps must never command motor cut."""
+    ctl = OnboardController(mass=1.0)
+    st = DroneState.create(timestamp=1.0, position=(0, 0, 2.0))
+    ctl.compute_control_command(st, _hover_traj())
+    cmd, _ = ctl.compute_control_command(st, _hover_traj())  # same t -> dt=0
+    assert float(cmd.thrust) == pytest.approx(9.81)
+
+
+def test_planner_stats_bounded_and_shared():
+    """SE3MPCPlanner routes stats through BasePlanner's capped history."""
+    p = SE3MPCPlanner()
+    for i in range(130):
+        p._update_planning_stats(1.0, success=True)
+    assert len(p.planning_stats["planning_times"]) == 100
+    assert p.get_planning_stats()["total_plans"] == 130

@@ -258,3 +258,38 @@ def test_airframe_helpers_and_custom():
     assert any("thrust-to-weight too low" in i for i in custom.validate_config())
     with pytest.raises(ConfigurationError):
         mgr.get("does_not_exist")
+
+
+def test_csrf_cookie_is_not_httponly():
+    """RFC 6265: the HttpOnly attribute's mere presence enables it; the
+    double-submit cookie must be JS-readable."""
+    app = CSRFMiddleware(_echo_app)
+    _, hdrs, _ = _call(app, "GET")
+    assert b"httponly" not in hdrs[b"set-cookie"].lower()
+
+
+def test_secure_middleware_exemption_is_prefix_only():
+    """Routes merely containing an exempt segment must still be validated."""
+    app = SecureMiddleware(_echo_app)
+    status, _, _ = _call(
+        app, "POST", path="/api/static-waypoints", body=b"{not json"
+    )
+    assert status == 400  # not exempted
+
+
+def test_keystore_tmp_never_world_readable(tmp_path, monkeypatch):
+    """Secrets must be 0600 from the first byte, including the temp file."""
+    import os as _os
+
+    seen_modes = []
+    real_open = _os.open
+
+    def spy_open(path, flags, mode=0o777):
+        if str(path).endswith(".tmp"):
+            seen_modes.append(mode)
+        return real_open(path, flags, mode)
+
+    monkeypatch.setattr(_os, "open", spy_open)
+    km = SecureKeyManager(str(tmp_path / "keys.json"))
+    km.rotate_keys()
+    assert seen_modes and all(m == 0o600 for m in seen_modes)
