@@ -58,7 +58,7 @@ class EpisodeResult(NamedTuple):
     success: Array  # (...,) bool
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
+@functools.partial(jax.jit, static_argnames=("config", "method"))
 def simulate_episode(
     config: ClosedLoopConfig,
     key: Array,
@@ -66,10 +66,16 @@ def simulate_episode(
     goal: Array,
     obstacles: Optional[Array] = None,
     obstacle_mask: Optional[Array] = None,
+    method: str = "xla",
 ) -> EpisodeResult:
-    """One closed-loop episode; batches only via vmap (inputs unbatched)."""
+    """Closed-loop episode(s): natively batched over any leading dims of
+    ``state0``/``goal`` (also composes with vmap when ``method="xla"``).
+    ``method`` picks the MPC solver per replan — batched calls on TPU can
+    use the fused Pallas kernel (``"auto"``/``"fused"``), which a vmapped
+    episode cannot (pallas_call has no batching rule)."""
     mpc = config.mpc
     dtype = state0.position.dtype
+    batch_shape = state0.position.shape[:-1]
     K = mpc.max_obstacles
     if obstacles is None:
         obstacles = jnp.zeros((K, 4), dtype)
@@ -84,12 +90,17 @@ def simulate_episode(
     )
 
     k_wind, k_noise = jax.random.split(key)
-    wind = phys.sample_wind(k_wind, (), config.wind_mean, config.wind_std, dtype)
+    wind = phys.sample_wind(
+        k_wind, batch_shape, config.wind_mean, config.wind_std, dtype
+    )
 
     rb0 = phys.RigidBodyState.from_drone_state(state0)
-    ctrl0 = geometric.ControllerState.zeros(config.control, dtype=dtype)
+    ctrl0 = geometric.ControllerState.zeros(
+        config.control, batch_shape=batch_shape, dtype=dtype
+    )
     u0 = jnp.broadcast_to(
-        jnp.asarray([0.0, 0.0, mpc.hover_thrust], dtype), (mpc.prediction_horizon, 3)
+        jnp.asarray([0.0, 0.0, mpc.hover_thrust], dtype),
+        batch_shape + (mpc.prediction_horizon, 3),
     )
 
     n_sub = config.substeps_per_plan
@@ -98,15 +109,19 @@ def simulate_episode(
     def replan_block(carry, block_idx):
         rb, ctrl_state, u_warm, t = carry
         kb = jax.random.fold_in(k_noise, block_idx)
-        noise = config.sensor_noise_std * jax.random.normal(kb, (6,), dtype)
+        noise = config.sensor_noise_std * jax.random.normal(
+            kb, batch_shape + (6,), dtype
+        )
         prob = costs.Problem(
-            p0=rb.position + noise[:3],
-            v0=rb.velocity + noise[3:],
+            p0=rb.position + noise[..., :3],
+            v0=rb.velocity + noise[..., 3:],
             goal=goal,
             obstacles=obstacles,
             obstacle_mask=obstacle_mask,
         )
-        res = se3_mpc.solve_se3_mpc(mpc, prob, se3_mpc.shift_warm_start(mpc, u_warm))
+        res = se3_mpc.solve(
+            mpc, prob, se3_mpc.shift_warm_start(mpc, u_warm), method=method
+        )
 
         def control_tick(carry2, sub_idx):
             rb2, cs2, t2 = carry2
@@ -117,7 +132,11 @@ def simulate_episode(
             frac = x - i0.astype(dtype)
 
             def lerp(arr):
-                return arr[i0] + frac * (arr[i0 + 1] - arr[i0])
+                # index the horizon axis (second-to-last): works unbatched
+                # and with leading episode dims alike
+                lo = arr[..., i0, :]
+                hi = arr[..., i0 + 1, :]
+                return lo + frac * (hi - lo)
 
             sp = geometric.ControlSetpoint(
                 position=lerp(res.positions),
@@ -137,17 +156,19 @@ def simulate_episode(
             rb3 = rb2
             for _ in range(config.physics_substeps):
                 rb3 = phys.rigid_body_step(config.physics, rb3, cmd, h, wind)
-            dist = jnp.linalg.norm(rb3.position - goal)
-            track_err = jnp.sum((rb3.position - sp.position) ** 2)
-            return (rb3, cs3, t2 + config.control_dt), (dist, track_err, rb3.position[2])
+            dist = jnp.linalg.norm(rb3.position - goal, axis=-1)
+            track_err = jnp.sum((rb3.position - sp.position) ** 2, axis=-1)
+            return (rb3, cs3, t2 + config.control_dt), (
+                dist, track_err, rb3.position[..., 2],
+            )
 
         (rb, ctrl_state, t), (dists, terrs, alts) = jax.lax.scan(
             control_tick, (rb, ctrl_state, t), jnp.arange(n_sub)
         )
         return (rb, ctrl_state, res.thrusts, t), (
-            jnp.min(dists),
-            jnp.sum(terrs),
-            jnp.min(alts),
+            jnp.min(dists, axis=0),
+            jnp.sum(terrs, axis=0),
+            jnp.min(alts, axis=0),
         )
 
     init = (rb0, ctrl0, u0, state0.timestamp.astype(dtype))
@@ -155,11 +176,11 @@ def simulate_episode(
         replan_block, init, jnp.arange(config.num_replans)
     )
 
-    final_dist = jnp.linalg.norm(rb.position - goal)
-    min_dist = jnp.minimum(jnp.min(min_dists), final_dist)
+    final_dist = jnp.linalg.norm(rb.position - goal, axis=-1)
+    min_dist = jnp.minimum(jnp.min(min_dists, axis=0), final_dist)
     total_ticks = config.num_replans * n_sub
-    rmse = jnp.sqrt(jnp.sum(terr_sums) / total_ticks)
-    crashed = jnp.min(min_alts) < config.min_altitude
+    rmse = jnp.sqrt(jnp.sum(terr_sums, axis=0) / total_ticks)
+    crashed = jnp.min(min_alts, axis=0) < config.min_altitude
     return EpisodeResult(
         final_position=rb.position,
         final_distance=final_dist,
@@ -170,7 +191,9 @@ def simulate_episode(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("config", "num_episodes"))
+@functools.partial(
+    jax.jit, static_argnames=("config", "num_episodes", "method")
+)
 def monte_carlo(
     config: ClosedLoopConfig,
     key: Array,
@@ -181,13 +204,15 @@ def monte_carlo(
     goal_spread: float = 2.0,
     obstacles: Optional[Array] = None,
     obstacle_mask: Optional[Array] = None,
+    method: str = "auto",
 ) -> EpisodeResult:
-    """Vmapped randomized fleet (reference test_monte_carlo_sim.py: 20
-    seeded runs, >=80%% goal-reach; here the whole fleet is one executable
-    and scales to thousands of episodes per chip)."""
+    """Randomized fleet as ONE natively-batched episode call (reference
+    test_monte_carlo_sim.py: 20 seeded runs, >=80%% goal-reach; here the
+    whole fleet is one executable and scales to thousands of episodes per
+    chip, using the fused Pallas solver on TPU)."""
     dtype = jnp.asarray(start_center).dtype
-    keys = jax.random.split(key, num_episodes + 2)
-    ep_keys, k_start, k_goal = keys[:-2], keys[-2], keys[-1]
+    keys = jax.random.split(key, 3)
+    ep_key, k_start, k_goal = keys[0], keys[1], keys[2]
     starts = start_center + start_spread * jax.random.normal(
         k_start, (num_episodes, 3), dtype
     )
@@ -203,10 +228,7 @@ def monte_carlo(
         attitude=jnp.zeros((num_episodes, 3), dtype),
         angular_velocity=jnp.zeros((num_episodes, 3), dtype),
     )
-    if obstacles is None:
-        return jax.vmap(
-            lambda k, s, g: simulate_episode(config, k, s, g)
-        )(ep_keys, states, goals)
-    return jax.vmap(
-        lambda k, s, g: simulate_episode(config, k, s, g, obstacles, obstacle_mask)
-    )(ep_keys, states, goals)
+    return simulate_episode(
+        config, ep_key, states, goals, obstacles, obstacle_mask,
+        method=method,
+    )

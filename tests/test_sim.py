@@ -112,3 +112,43 @@ def test_episode_avoids_obstacle():
     r = simulate_episode(FAST, key, s0, goal, obstacles)
     assert float(r.final_distance) < 1.5
     assert not bool(r.crashed)
+
+
+def test_batched_episodes_match_vmapped():
+    """Natively-batched episodes must equal vmapped per-episode runs in
+    the noise-free default config (same deterministic dynamics)."""
+    import jax
+
+    config = ClosedLoopConfig(
+        mpc=se3_mpc.SE3MPCConfig(prediction_horizon=8, max_iterations=4),
+        num_replans=5,
+    )
+    B = 4
+    rng = np.random.default_rng(0)
+    starts = jnp.asarray(rng.normal(0, 1, (B, 3)) + [0, 0, 4], jnp.float32)
+    goals = jnp.asarray(rng.normal(0, 2, (B, 3)) + [0, 0, 4], jnp.float32)
+    states = DroneState.create(
+        timestamp=jnp.zeros(B),
+        position=starts,
+        velocity=jnp.zeros((B, 3)),
+        attitude=jnp.zeros((B, 3)),
+        angular_velocity=jnp.zeros((B, 3)),
+    )
+    key = jax.random.PRNGKey(1)
+    batched = simulate_episode(config, key, states, goals)
+    single = jax.vmap(
+        lambda s, g: simulate_episode(
+            config, key,
+            jax.tree_util.tree_map(lambda x: x, s), g,
+        )
+    )(states, goals)
+    np.testing.assert_allclose(
+        np.asarray(batched.final_position),
+        np.asarray(single.final_position),
+        atol=5e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(batched.tracking_rmse),
+        np.asarray(single.tracking_rmse),
+        atol=1e-3,
+    )
