@@ -76,6 +76,15 @@ def simulate_episode(
     mpc = config.mpc
     dtype = state0.position.dtype
     batch_shape = state0.position.shape[:-1]
+    if method == "auto":
+        method = "fused" if jax.default_backend() == "tpu" else "xla"
+    # the fused tick-block kernel handles the standard sim configuration
+    # over a single batch axis; anything else falls back to the scan
+    use_tick_kernel = (
+        method == "fused"
+        and config.control.anti_windup_method == "clamping"
+        and len(batch_shape) == 1
+    )
     K = mpc.max_obstacles
     if obstacles is None:
         obstacles = jnp.zeros((K, 4), dtype)
@@ -122,6 +131,35 @@ def simulate_episode(
         res = se3_mpc.solve(
             mpc, prob, se3_mpc.shift_warm_start(mpc, u_warm), method=method
         )
+
+        if use_tick_kernel:
+            # entire 400 Hz tick block as one fused Pallas kernel
+            # (ops/pallas_rollout.py) instead of an n_sub-step scan
+            from dart_planner_tpu.ops import pallas_rollout
+
+            S = pallas_rollout.pack_state(rb, ctrl_state)
+            spp, spv, spa = pallas_rollout.setpoints_from_plan(
+                res.positions, res.velocities, res.accelerations,
+                n_sub, config.control_dt, mpc.dt,
+            )
+            B = S.shape[1]
+            gw = jnp.concatenate(
+                [
+                    jnp.broadcast_to(goal, (B, 3)).T,
+                    jnp.broadcast_to(wind, (B, 3)).T,
+                    jnp.zeros((2, B), dtype),
+                ],
+                axis=0,
+            )
+            S2, acc = pallas_rollout.run_tick_block(
+                config.control, config.physics, config.control_dt,
+                n_sub, config.physics_substeps,
+                S, spp, spv, spa, gw,
+                interpret=jax.default_backend() != "tpu",
+            )
+            rb2, cs2 = pallas_rollout.unpack_state(S2, rb, ctrl_state)
+            t2 = t + n_sub * config.control_dt
+            return (rb2, cs2, res.thrusts, t2), (acc[0], acc[1], acc[2])
 
         def control_tick(carry2, sub_idx):
             rb2, cs2, t2 = carry2

@@ -152,3 +152,43 @@ def test_batched_episodes_match_vmapped():
         np.asarray(single.tracking_rmse),
         atol=1e-3,
     )
+
+
+def test_fused_tick_kernel_matches_scan():
+    """The fused Pallas tick-block kernel (ops/pallas_rollout.py) must
+    reproduce the scan path's controller+plant chain (CPU interpreter;
+    on-chip it is also the more accurate path vs TPU ground truth)."""
+    import jax
+
+    config = ClosedLoopConfig(
+        mpc=se3_mpc.SE3MPCConfig(prediction_horizon=8, max_iterations=3),
+        num_replans=4,
+    )
+    B = 3
+    rng = np.random.default_rng(0)
+    states = DroneState.create(
+        timestamp=jnp.zeros(B),
+        position=jnp.asarray(rng.normal(0, 1, (B, 3)) + [0, 0, 4], jnp.float32),
+        velocity=jnp.zeros((B, 3)),
+        attitude=jnp.zeros((B, 3)),
+        angular_velocity=jnp.zeros((B, 3)),
+    )
+    goals = jnp.asarray(rng.normal(0, 2, (B, 3)) + [0, 0, 4], jnp.float32)
+    key = jax.random.PRNGKey(0)
+    r_scan = simulate_episode(config, key, states, goals, method="xla")
+    r_fused = simulate_episode(config, key, states, goals, method="fused")
+    np.testing.assert_allclose(
+        np.asarray(r_fused.final_position),
+        np.asarray(r_scan.final_position),
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_fused.tracking_rmse),
+        np.asarray(r_scan.tracking_rmse),
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_fused.min_distance),
+        np.asarray(r_scan.min_distance),
+        atol=1e-4,
+    )
