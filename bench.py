@@ -93,6 +93,27 @@ def main():
     per_fleet, _ = timed_chain(prob_f, u_f, reps=6, passes=2)
     fleet_rate = fleet / per_fleet
 
+    # --- closed-loop Monte-Carlo (BASELINE config 4): 6 s episodes,
+    # 10 Hz replans, 400 Hz fused control+physics tick blocks ---
+    import jax.numpy as jnp
+
+    from dart_planner_tpu.sim import ClosedLoopConfig, monte_carlo
+
+    mc_cfg = ClosedLoopConfig()
+    mc_n = 2048
+    key = jax.random.PRNGKey(0)
+    start = jnp.asarray([0.0, 0.0, 3.0])
+    goal = jnp.asarray([6.0, 3.0, 4.0])
+    res = monte_carlo(mc_cfg, key, mc_n, start, goal)  # compile
+    _fetch(jnp.sum(res.final_distance))
+    mc_best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        res = monte_carlo(mc_cfg, key, mc_n, start, goal)
+        _fetch(jnp.sum(res.final_distance))
+        mc_best = min(mc_best, time.perf_counter() - t0)
+    episodes_per_s = mc_n / mc_best
+
     print(
         json.dumps(
             {
@@ -103,6 +124,7 @@ def main():
                 "single_solve_device_ms": round(lat_s * 1e3, 4),
                 "single_solve_budget_ms": 50.0,
                 "fleet_131072_solves_per_s": round(fleet_rate, 1),
+                "closed_loop_episodes_per_s": round(episodes_per_s, 1),
                 "batch_step_ms": round(per_call * 1e3, 3),
                 "tunnel_rtt_ms": round(rtt * 1e3, 2),
                 "device": str(jax.devices()[0].platform),
