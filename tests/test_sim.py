@@ -192,3 +192,36 @@ def test_fused_tick_kernel_matches_scan():
         np.asarray(r_scan.min_distance),
         atol=1e-4,
     )
+
+
+def test_fused_tick_kernel_failsafe_branch_parity():
+    """Force the failsafe branch (huge tracking error) and check the
+    kernel matches the scan path through count-up, latch, and zeroed
+    torque dynamics."""
+    import jax
+
+    config = ClosedLoopConfig(
+        mpc=se3_mpc.SE3MPCConfig(prediction_horizon=8, max_iterations=2),
+        control=geometric.GeometricConfig(
+            mass=1.5, max_thrust=25.0, failsafe_trigger_count=10
+        ),
+        num_replans=3,
+    )
+    B = 2
+    # start 60 m from any plannable goal with high speed: bad tracking
+    states = DroneState.create(
+        timestamp=jnp.zeros(B),
+        position=jnp.asarray([[60.0, 0, 30.0], [0, 60.0, 30.0]], jnp.float32),
+        velocity=jnp.asarray([[-8.0, 0, 0], [0, -8.0, 0]], jnp.float32),
+        attitude=jnp.zeros((B, 3)),
+        angular_velocity=jnp.zeros((B, 3)),
+    )
+    goals = jnp.asarray([[0, 0, 3.0], [0, 0, 3.0]], jnp.float32)
+    key = jax.random.PRNGKey(0)
+    r_scan = simulate_episode(config, key, states, goals, method="xla")
+    r_fused = simulate_episode(config, key, states, goals, method="fused")
+    np.testing.assert_allclose(
+        np.asarray(r_fused.final_position),
+        np.asarray(r_scan.final_position),
+        rtol=1e-4, atol=1e-3,
+    )
