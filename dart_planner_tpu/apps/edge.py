@@ -14,7 +14,7 @@ from __future__ import annotations
 import asyncio
 import enum
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Dict, List, Optional
 
 import jax.numpy as jnp
@@ -23,7 +23,7 @@ import numpy as np
 from dart_planner_tpu.common.errors import CommunicationError
 from dart_planner_tpu.common.logging_config import get_logger
 from dart_planner_tpu.common.timing import TimingConfig, TimingManager
-from dart_planner_tpu.common.types import DroneState, Trajectory
+from dart_planner_tpu.common.types import Trajectory
 from dart_planner_tpu.comms import SecureSerializer, ZmqClient
 from dart_planner_tpu.hardware.simulated_vehicle import SimulatedVehicleIO
 

@@ -19,7 +19,6 @@ from typing import Optional, Set
 import numpy as np
 
 from dart_planner_tpu.common.logging_config import get_logger
-from dart_planner_tpu.common.types import DroneState
 from dart_planner_tpu.perception import GeometricMapper
 from dart_planner_tpu.planning.se3_mpc import SE3MPCConfig, SE3MPCPlanner
 from dart_planner_tpu.hardware.simulated_vehicle import SimulatedVehicleIO

@@ -12,7 +12,7 @@ profiles stay declarative and hashable (jit-safe).
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 from dart_planner_tpu.common.errors import ConfigurationError
 from dart_planner_tpu.control.geometric import GeometricConfig

@@ -16,7 +16,6 @@ full surface for tests via dependency injection of a mock ``mavutil``.
 
 from __future__ import annotations
 
-import asyncio
 import time
 from dataclasses import dataclass
 from typing import Any, Optional

@@ -17,7 +17,6 @@ from typing import Any, List, Optional
 
 import numpy as np
 
-from dart_planner_tpu.common.errors import HardwareError
 from dart_planner_tpu.hardware.motor_model import (
     QuadraticMotorModel,
     create_default_motor_model,

@@ -9,7 +9,7 @@ curves are arrays, so thrust/pwm conversions work on whole motor banks
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np

@@ -8,7 +8,6 @@ interface on loss (:50-127).
 from __future__ import annotations
 
 import asyncio
-import time
 from typing import Callable, Optional
 
 from dart_planner_tpu.comms.heartbeat import HeartbeatConfig, HeartbeatMonitor

@@ -9,7 +9,6 @@ like the reference (simulated_vehicle_io.py registration).
 
 from __future__ import annotations
 
-import time
 from typing import Optional
 
 import jax.numpy as jnp
