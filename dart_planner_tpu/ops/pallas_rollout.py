@@ -33,13 +33,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from dart_planner_tpu.ops.pallas_mpc import _round_up
+
 Array = jnp.ndarray
 
 _ROWS = 32
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def _lerp_weights(T: int, control_dt: float, mpc_dt: float, N: int) -> np.ndarray:
@@ -62,7 +60,8 @@ def _tick_kernel(control_cfg, physics_cfg, control_dt: float, T: int,
     c = control_cfg
     p = physics_cfg
     h = control_dt / substeps
-    g = float(c.gravity)
+    g = float(c.gravity)  # controller's gravity (f_world term)
+    pg = float(p.gravity)  # plant's gravity (they may differ by config)
     kp = tuple(float(v) for v in c.kp_pos)
     ki = tuple(float(v) for v in c.ki_pos)
     kd = tuple(float(v) for v in c.kd_pos)
@@ -255,7 +254,7 @@ def _tick_kernel(control_cfg, physics_cfg, control_dt: float, T: int,
             for _ in range(substeps):
                 b3w = (R[0][2], R[1][2], R[2][2])  # body z in world
                 acc = tuple(
-                    (0.0 if d != 2 else -g)
+                    (0.0 if d != 2 else -pg)
                     + b3w[d] * thr / p.mass
                     + wind[d] / p.mass
                     - (p.drag_coefficient * vel[d] if p.drag_coefficient > 0 else 0.0)

@@ -83,6 +83,7 @@ def simulate_episode(
     use_tick_kernel = (
         method == "fused"
         and config.control.anti_windup_method == "clamping"
+        and config.control.yaw_convention == "lee"
         and len(batch_shape) == 1
     )
     K = mpc.max_obstacles

@@ -137,10 +137,7 @@ def test_batched_episodes_match_vmapped():
     key = jax.random.PRNGKey(1)
     batched = simulate_episode(config, key, states, goals)
     single = jax.vmap(
-        lambda s, g: simulate_episode(
-            config, key,
-            jax.tree_util.tree_map(lambda x: x, s), g,
-        )
+        lambda s, g: simulate_episode(config, key, s, g)
     )(states, goals)
     np.testing.assert_allclose(
         np.asarray(batched.final_position),
