@@ -222,3 +222,35 @@ def test_fused_tick_kernel_failsafe_branch_parity():
         np.asarray(r_scan.final_position),
         rtol=1e-4, atol=1e-3,
     )
+
+
+def test_fused_tick_kernel_substeps_and_horizon_parity():
+    """Kernel parity must hold with physics substeps > 1 and a different
+    horizon/replan-rate combination (exercises the static lerp matrix)."""
+    import jax
+
+    config = ClosedLoopConfig(
+        mpc=se3_mpc.SE3MPCConfig(
+            prediction_horizon=12, dt=0.08, max_iterations=3
+        ),
+        physics_substeps=2,
+        substeps_per_plan=25,
+        num_replans=3,
+    )
+    B = 2
+    states = DroneState.create(
+        timestamp=jnp.zeros(B),
+        position=jnp.asarray([[0, 0, 3.0], [1, -1, 4.0]], jnp.float32),
+        velocity=jnp.asarray([[0.5, 0, 0], [0, 0.5, 0]], jnp.float32),
+        attitude=jnp.zeros((B, 3)),
+        angular_velocity=jnp.zeros((B, 3)),
+    )
+    goals = jnp.asarray([[3.0, 1.0, 3.5], [2.0, 2.0, 3.0]], jnp.float32)
+    key = jax.random.PRNGKey(2)
+    r_scan = simulate_episode(config, key, states, goals, method="xla")
+    r_fused = simulate_episode(config, key, states, goals, method="fused")
+    np.testing.assert_allclose(
+        np.asarray(r_fused.final_position),
+        np.asarray(r_scan.final_position),
+        atol=1e-4,
+    )
