@@ -75,6 +75,38 @@ class MetricsManager:
             self._samples.clear()
             self._counters.clear()
 
+    def prometheus_exposition(self, prefix: str = "dart") -> str:
+        """Prometheus text-exposition rendering of all metrics.
+
+        The reference ships a Prometheus+Grafana ops stack
+        (docker-compose.yml:105-130); this emits the same data the
+        homegrown counters hold so any scraper can ingest it — counters
+        as ``counter``, sample summaries as ``gauge`` quantiles.
+        """
+
+        def sanitize(name: str) -> str:
+            return "".join(c if c.isalnum() else "_" for c in name)
+
+        lines = []
+        with self._lock:
+            counters = dict(self._counters)
+            names = list(self._samples)
+        for name, value in sorted(counters.items()):
+            m = f"{prefix}_{sanitize(name)}_total"
+            lines.append(f"# TYPE {m} counter")
+            lines.append(f"{m} {value}")
+        for name in sorted(names):
+            s = self.summary(name)
+            if s is None:
+                continue
+            m = f"{prefix}_{sanitize(name)}"
+            lines.append(f"# TYPE {m} gauge")
+            for q in ("p50", "p95", "p99"):
+                lines.append(f'{m}{{quantile="{q[1:]}"}} {s[q]}')
+            lines.append(f"{m}_count {s['count']}")
+            lines.append(f"{m}_mean {s['mean']}")
+        return "\n".join(lines) + "\n"
+
 
 _global = MetricsManager()
 

@@ -174,3 +174,22 @@ def test_scheduler_priority_order():
     asyncio.run(main())
     # safety (CRITICAL) must run before control (HIGH) at equal readiness
     assert order[0] == "safety"
+
+
+def test_prometheus_exposition_format():
+    """Counters render as counter, summaries as gauge quantiles
+    (reference ops stack: docker-compose.yml Prometheus scrape)."""
+    from dart_planner_tpu.common.metrics import MetricsManager
+
+    m = MetricsManager()
+    m.increment("plans")
+    m.increment("plans")
+    for v in (1.0, 2.0, 3.0):
+        m.record("plan latency ms", v)
+    text = m.prometheus_exposition()
+    assert "# TYPE dart_plans_total counter" in text
+    assert "dart_plans_total 2" in text
+    assert "# TYPE dart_plan_latency_ms gauge" in text
+    assert 'dart_plan_latency_ms{quantile="50"} 2.0' in text
+    assert "dart_plan_latency_ms_count 3" in text
+    assert text.endswith("\n")
