@@ -94,28 +94,63 @@ def main():
     fleet_rate = fleet / per_fleet
 
     # --- closed-loop Monte-Carlo (BASELINE config 4): 6 s episodes,
-    # 10 Hz replans, 400 Hz fused control+physics tick blocks ---
+    # randomized starts + wind + sensor noise + per-episode obstacle
+    # fields perceived through the explicit mapper; 10 Hz replans,
+    # 400 Hz fused control+physics tick blocks. Reports QUALITY
+    # (success/crash/RMSE vs the reference's >=80% Monte-Carlo criterion,
+    # /root/reference/tests/test_monte_carlo_sim.py:75-81) alongside
+    # throughput. ---
     import jax.numpy as jnp
 
-    from dart_planner_tpu.sim import ClosedLoopConfig, monte_carlo
+    from dart_planner_tpu.sim import ClosedLoopConfig, WorldConfig
 
-    mc_cfg = ClosedLoopConfig()
+    mc_cfg = ClosedLoopConfig(
+        wind_mean=1.0, wind_std=0.5, sensor_noise_std=0.02
+    )
+    wc = WorldConfig()
     mc_n = 2048
     key = jax.random.PRNGKey(0)
     start = jnp.asarray([0.0, 0.0, 3.0])
     goal = jnp.asarray([6.0, 3.0, 4.0])
-    res = monte_carlo(mc_cfg, key, mc_n, start, goal)  # compile
+
+    # world sampling + mapper perception is one-time fleet setup;
+    # the timed loop is the closed-loop simulation itself
+    from dart_planner_tpu.sim import closed_loop, sample_worlds
+    from dart_planner_tpu.sim.worlds import perceive_worlds
+
+    k_fleet, k_world = jax.random.split(key)
+    ep_key, states, goals = closed_loop.sample_fleet(
+        k_fleet, mc_n, start, goal
+    )
+    tobs, tmask = sample_worlds(wc, k_world, mc_n, states.position, goals)
+    pobs, pmask = perceive_worlds(
+        wc, tobs, tmask, states.position, goals,
+        max_obstacles=mc_cfg.mpc.max_obstacles,
+    )
+
+    def run_mc():
+        return closed_loop.simulate_episode(
+            mc_cfg, ep_key, states, goals, obstacles=pobs,
+            obstacle_mask=pmask, method="auto", true_obstacles=tobs,
+            true_obstacle_mask=tmask,
+        )
+
+    res = run_mc()  # compile
     _fetch(jnp.sum(res.final_distance))
     mc_best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        res = monte_carlo(mc_cfg, key, mc_n, start, goal)
+        res = run_mc()
         _fetch(jnp.sum(res.final_distance))
         total = time.perf_counter() - t0
         t0 = time.perf_counter()
         _fetch(jnp.sum(res.final_distance))  # bare-fetch round trip
         mc_best = min(mc_best, max(total - (time.perf_counter() - t0), 1e-9))
     episodes_per_s = mc_n / mc_best
+    mc_success = float(jnp.mean(res.success))
+    mc_crash = float(jnp.mean(res.crashed))
+    mc_rmse = float(jnp.mean(res.tracking_rmse))
+    mc_clear = float(jnp.mean(res.min_obstacle_clearance))
 
     print(
         json.dumps(
@@ -128,6 +163,10 @@ def main():
                 "single_solve_budget_ms": 50.0,
                 "fleet_131072_solves_per_s": round(fleet_rate, 1),
                 "closed_loop_episodes_per_s": round(episodes_per_s, 1),
+                "mc_success_rate": round(mc_success, 4),
+                "mc_crash_rate": round(mc_crash, 4),
+                "tracking_rmse_m": round(mc_rmse, 4),
+                "mean_min_obstacle_clearance_m": round(mc_clear, 3),
                 "batch_step_ms": round(per_call * 1e3, 3),
                 "tunnel_rtt_ms": round(rtt * 1e3, 2),
                 "device": str(jax.devices()[0].platform),

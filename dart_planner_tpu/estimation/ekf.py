@@ -98,17 +98,20 @@ def ekf_predict(
             [zero3, zero3, eye3 * qb * dt],
         ]
     )
-    P2 = F @ state.P @ F.T + Q
+    # fp32 matmuls: the bf16 TPU default drifts P off symmetric-PSD
+    with jax.default_matmul_precision("highest"):
+        P2 = F @ state.P @ F.T + Q
     return EKFState(x=x2, P=P2)
 
 
 def _kalman_update(state: EKFState, H: Array, z: Array, R: Array) -> EKFState:
-    y = z - jnp.einsum("ij,...j->...i", H, state.x)
-    S = H @ state.P @ H.T + R
-    K = state.P @ H.T @ jnp.linalg.inv(S)
-    x2 = state.x + jnp.einsum("...ij,...j->...i", K, y)
-    eye = jnp.eye(state.x.shape[-1], dtype=state.x.dtype)
-    P2 = (eye - K @ H) @ state.P
+    with jax.default_matmul_precision("highest"):
+        y = z - jnp.einsum("ij,...j->...i", H, state.x)
+        S = H @ state.P @ H.T + R
+        K = state.P @ H.T @ jnp.linalg.inv(S)
+        x2 = state.x + jnp.einsum("...ij,...j->...i", K, y)
+        eye = jnp.eye(state.x.shape[-1], dtype=state.x.dtype)
+        P2 = (eye - K @ H) @ state.P
     return EKFState(x=x2, P=P2)
 
 

@@ -48,6 +48,16 @@ class CostWeights(NamedTuple):
     ground_altitude: float = 0.0  # min altitude z_min for the hinge
     velocity_bound: float = 0.0  # per-axis |v| <= v_max hinge weight (0 = off)
     max_velocity: float = 0.0  # v_max for the hinge
+    # Thrust-feasibility hinges (novel vs reference). The reference bounds
+    # each thrust AXIS separately (se3_mpc_planner.py:390-401), so box
+    # corners command vectors tilted ~85 deg with norm up to sqrt(3) u_max —
+    # thrusts no tilt-limited vehicle can produce. Tracking such plans is
+    # what loses the closed-loop Monte-Carlo (docs/kernel.md). Both hinges
+    # are convex, with rank-1 thrust-space GN blocks.
+    tilt: float = 0.0  # relu(||u_xy|| - tan_max_tilt * u_z)^2 weight
+    tan_max_tilt: float = 0.0
+    thrust_norm: float = 0.0  # relu(||u|| - max_thrust_norm)^2 weight
+    max_thrust_norm: float = 0.0
 
 
 class Problem(NamedTuple):
@@ -125,6 +135,17 @@ def condensed_cost(
         # those variables, so the envelope returns as a penalty.
         vviol = jnp.maximum(jnp.abs(vel) - w.max_velocity, 0.0)
         J += w.velocity_bound * jnp.sum(vviol * vviol, axis=(-1, -2))
+    if w.tilt > 0.0:
+        # tilt-cone hinge: ||u_xy|| <= tan(theta_max) u_z. The box bounds
+        # alone admit ~85deg-tilt corners no real vehicle tracks.
+        lat = jnp.sqrt(jnp.sum(u[..., :2] * u[..., :2], axis=-1) + 1e-9)
+        tviol = jnp.maximum(lat - w.tan_max_tilt * u[..., 2], 0.0)
+        J += w.tilt * jnp.sum(tviol * tviol, axis=-1)
+    if w.thrust_norm > 0.0:
+        # total-thrust hinge: ||u|| <= u_max (the box allows sqrt(3) u_max)
+        un = jnp.sqrt(jnp.sum(u * u, axis=-1) + 1e-9)
+        nviol = jnp.maximum(un - w.max_thrust_norm, 0.0)
+        J += w.thrust_norm * jnp.sum(nviol * nviol, axis=-1)
     return J
 
 
@@ -208,7 +229,8 @@ def obstacle_gn_hessian(
     # per-step 3x3 position-space GN blocks
     if include_obstacles:
         Hp = Hp + 2.0 * weights.obstacle * jnp.einsum(
-            "...nka,...nkb,...nk->...nab", n, n, active
+            "...nka,...nkb,...nk->...nab", n, n, active,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (..., N, 3, 3)
     if weights.ground > 0.0:
         g_active = (pos[..., 2] < weights.ground_altitude).astype(u.dtype)
@@ -243,15 +265,17 @@ def penalty_blocks(
     mass: float,
     gravity_vec: Array,
     include_obstacles: bool = True,
-) -> tuple[Array, Array]:
-    """Per-step GN blocks of the hinge penalties, in position/velocity space.
+) -> tuple[Array, Array, Array | None]:
+    """Per-step GN blocks of the hinge penalties.
 
-    Returns ``(Hp, Hv_diag)`` with ``Hp`` (..., N, 3, 3) position-space
-    blocks (obstacles + ground) and ``Hv_diag`` (..., N, 3) diagonal
-    velocity-space entries (velocity-envelope hinge). These feed the
-    matrix-free Newton-CG in the solver; the full thrust-space Hessian
-    (:func:`obstacle_gn_hessian`) is never materialized on the hot path —
-    building its (..., 3N, 3N) tensor dominated solve time at batch 4096.
+    Returns ``(Hp, Hv_diag, Hu)`` with ``Hp`` (..., N, 3, 3) position-space
+    blocks (obstacles + ground), ``Hv_diag`` (..., N, 3) diagonal
+    velocity-space entries (velocity-envelope hinge), and ``Hu``
+    (..., N, 3, 3) thrust-space blocks (tilt-cone + thrust-norm hinges) or
+    ``None`` when both are off. These feed the matrix-free Newton-CG in the
+    solver; the full thrust-space Hessian (:func:`obstacle_gn_hessian`) is
+    never materialized on the hot path — building its (..., 3N, 3N) tensor
+    dominated solve time at batch 4096.
     """
     pos, vel, _ = dynamics.rollout_linear(u, prob.p0, prob.v0, dt, mass, gravity_vec)
     N_h = u.shape[-2]
@@ -266,7 +290,8 @@ def penalty_blocks(
         ).astype(u.dtype)
         n = diff / d[..., None]
         Hp = Hp + 2.0 * weights.obstacle * jnp.einsum(
-            "...nka,...nkb,...nk->...nab", n, n, active
+            "...nka,...nkb,...nk->...nab", n, n, active,
+            precision=jax.lax.Precision.HIGHEST,
         )
     if weights.ground > 0.0:
         g_active = (pos[..., 2] < weights.ground_altitude).astype(u.dtype)
@@ -275,4 +300,34 @@ def penalty_blocks(
     if weights.velocity_bound > 0.0:
         v_active = (jnp.abs(vel) > weights.max_velocity).astype(u.dtype)
         Hv_diag = 2.0 * weights.velocity_bound * v_active
-    return Hp, Hv_diag
+    Hu = None
+    if weights.tilt > 0.0 or weights.thrust_norm > 0.0:
+        Hu = jnp.zeros(u.shape[:-2] + (N_h, 3, 3), u.dtype)
+    if weights.tilt > 0.0:
+        # v = ||u_xy|| - tan * u_z; GN block 2 w 1{v>0} (dv)(dv)^T with
+        # dv = (ux/lat, uy/lat, -tan)
+        lat = jnp.sqrt(jnp.sum(u[..., :2] * u[..., :2], axis=-1) + 1e-9)
+        t_active = (
+            lat - weights.tan_max_tilt * u[..., 2] > 0.0
+        ).astype(u.dtype)
+        jv = jnp.concatenate(
+            [
+                u[..., :2] / lat[..., None],
+                jnp.broadcast_to(
+                    jnp.asarray(-weights.tan_max_tilt, u.dtype),
+                    u.shape[:-1] + (1,),
+                ),
+            ],
+            axis=-1,
+        )
+        Hu = Hu + 2.0 * weights.tilt * t_active[..., None, None] * (
+            jv[..., :, None] * jv[..., None, :]
+        )
+    if weights.thrust_norm > 0.0:
+        un = jnp.sqrt(jnp.sum(u * u, axis=-1) + 1e-9)
+        n_active = (un > weights.max_thrust_norm).astype(u.dtype)
+        nv = u / un[..., None]
+        Hu = Hu + 2.0 * weights.thrust_norm * n_active[..., None, None] * (
+            nv[..., :, None] * nv[..., None, :]
+        )
+    return Hp, Hv_diag, Hu

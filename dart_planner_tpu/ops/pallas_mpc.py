@@ -153,8 +153,13 @@ def _solver_kernel(
     z_min = float(w.ground_altitude)
     w_vb = float(w.velocity_bound)
     v_max = float(w.max_velocity)
+    w_tilt = float(w.tilt)
+    tan_max = float(w.tan_max_tilt)
+    w_tn = float(w.thrust_norm)
+    u_max = float(w.max_thrust_norm)
     use_ground = w_g > 0.0
     use_vel_hinge = w_vb > 0.0
+    use_thrust_hinge = w_tilt > 0.0 or w_tn > 0.0
     use_penalties = use_obstacles or use_ground or use_vel_hinge
 
     def g_axes(x, g):
@@ -326,6 +331,25 @@ def _solver_kernel(
             if use_obstacles:
                 Jo, _, _ = obstacle_terms(pos, False, False)
                 J = [a + b for a, b in zip(J, Jo)]
+            if use_thrust_hinge:
+                # cross-axis hinges (costs.condensed_cost tilt/thrust_norm):
+                # per-group because lat/norm couple the 3 axis row blocks
+                for g in range(G):
+                    ux, uy, uz = g_axes(uu, g)
+                    extra = jnp.zeros((1, ux.shape[1]), uu.dtype)
+                    if w_tilt > 0.0:
+                        lat = jnp.sqrt(ux * ux + uy * uy + 1e-9)
+                        tv = jnp.maximum(lat - tan_max * uz, 0.0)
+                        extra = extra + w_tilt * jnp.sum(
+                            tv * tv, axis=0, keepdims=True
+                        )
+                    if w_tn > 0.0:
+                        un = jnp.sqrt(ux * ux + uy * uy + uz * uz + 1e-9)
+                        nv = jnp.maximum(un - u_max, 0.0)
+                        extra = extra + w_tn * jnp.sum(
+                            nv * nv, axis=0, keepdims=True
+                        )
+                    J[g] = J[g] + extra
             return J
 
         def newton_body(_, u):
@@ -366,6 +390,51 @@ def _solver_kernel(
                 + (2.0 * w.thrust) * (u - hover)
             )
 
+            # thrust-space hinges (tilt cone / total norm): gradient plus
+            # rank-1 GN data per group — (act, jac) pairs consumed by the
+            # CG matvec and the Jacobi diagonal below. Matches
+            # costs.penalty_blocks (Hu = 2 w 1{viol} (dv)(dv)^T).
+            thu = []
+            if use_thrust_hinge:
+                tgrads = []
+                tdiags = []
+                for g in range(G):
+                    ux, uy, uz = g_axes(u, g)
+                    zero = jnp.zeros_like(ux)
+                    gx, gy, gz = zero, zero, zero
+                    dgx, dgy, dgz = zero, zero, zero
+                    at_ = jx = jy = an_ = nx = ny = nz = None
+                    if w_tilt > 0.0:
+                        lat = jnp.sqrt(ux * ux + uy * uy + 1e-9)
+                        tv = jnp.maximum(lat - tan_max * uz, 0.0)
+                        jx, jy = ux / lat, uy / lat
+                        c = (2.0 * w_tilt) * tv
+                        gx = gx + c * jx
+                        gy = gy + c * jy
+                        gz = gz - tan_max * c
+                        at_ = (2.0 * w_tilt) * (
+                            lat - tan_max * uz > 0.0
+                        ).astype(u.dtype)
+                        dgx = dgx + at_ * jx * jx
+                        dgy = dgy + at_ * jy * jy
+                        dgz = dgz + at_ * (tan_max * tan_max)
+                    if w_tn > 0.0:
+                        un = jnp.sqrt(ux * ux + uy * uy + uz * uz + 1e-9)
+                        nvv = jnp.maximum(un - u_max, 0.0)
+                        nx, ny, nz = ux / un, uy / un, uz / un
+                        cn = (2.0 * w_tn) * nvv
+                        gx = gx + cn * nx
+                        gy = gy + cn * ny
+                        gz = gz + cn * nz
+                        an_ = (2.0 * w_tn) * (un > u_max).astype(u.dtype)
+                        dgx = dgx + an_ * nx * nx
+                        dgy = dgy + an_ * ny * ny
+                        dgz = dgz + an_ * nz * nz
+                    tgrads.append((gx, gy, gz))
+                    tdiags.append((dgx, dgy, dgz))
+                    thu.append((at_, jx, jy, an_, nx, ny, nz))
+                grad = grad + cat_groups(tgrads)
+
             # active-set mask (bound + outward gradient)
             eps = 1e-6
             at_lo = (u <= lb + eps) & (grad > 0)
@@ -379,6 +448,8 @@ def _solver_kernel(
                 diag = diag + mm(Sp2T, hp_diag)
                 if use_vel_hinge:
                     diag = diag + mm(Sv2T, hv)
+            if use_thrust_hinge:
+                diag = diag + cat_groups(tdiags)
             minv = free / jnp.maximum(diag, 1e-8)
 
             def matvec(dv):
@@ -401,6 +472,25 @@ def _solver_kernel(
                     if use_vel_hinge:
                         yv = mmc(Svm3, dv)
                         out = out + mmc(Svm3T, hv * yv)
+                if use_thrust_hinge:
+                    ts = []
+                    for g in range(G):
+                        dxg, dyg, dzg = g_axes(dv, g)
+                        at_, jx, jy, an_, nx, ny, nz = thu[g]
+                        ox = jnp.zeros_like(dxg)
+                        oy, oz = ox, ox
+                        if at_ is not None:
+                            s = at_ * (jx * dxg + jy * dyg - tan_max * dzg)
+                            ox = ox + s * jx
+                            oy = oy + s * jy
+                            oz = oz - tan_max * s
+                        if an_ is not None:
+                            s = an_ * (nx * dxg + ny * dyg + nz * dzg)
+                            ox = ox + s * nx
+                            oy = oy + s * ny
+                            oz = oz + s * nz
+                        ts.append((ox, oy, oz))
+                    out = out + cat_groups(ts)
                 return out * free
 
             b = -(grad * free)

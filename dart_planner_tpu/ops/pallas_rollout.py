@@ -54,8 +54,13 @@ def _lerp_weights(T: int, control_dt: float, mpc_dt: float, N: int) -> np.ndarra
 
 
 def _tick_kernel(control_cfg, physics_cfg, control_dt: float, T: int,
-                 substeps: int):
-    """Build the kernel body. All config scalars are python constants."""
+                 substeps: int, num_obstacles: int = 0):
+    """Build the kernel body. All config scalars are python constants.
+
+    ``num_obstacles > 0`` adds a per-episode obstacle-rows input
+    ((4K, B): cx, cy, cz, r per sphere; inactive rows use r = -1e30) and
+    tracks the per-tick minimum surface clearance in accum row 3 — the
+    TRUE-world collision signal for the obstacle Monte-Carlo."""
     assert control_cfg.anti_windup_method == "clamping"
     c = control_cfg
     p = physics_cfg
@@ -88,7 +93,12 @@ def _tick_kernel(control_cfg, physics_cfg, control_dt: float, T: int,
     def norm3(a):
         return jnp.sqrt(dot3(a, a))
 
-    def kernel(S_ref, spp_ref, spv_ref, spa_ref, gw_ref, out_ref, acc_ref):
+    def kernel(S_ref, spp_ref, spv_ref, spa_ref, gw_ref, *rest):
+        if num_obstacles:
+            obs_ref, out_ref, acc_ref = rest
+            obs = obs_ref[:]
+        else:
+            out_ref, acc_ref = rest
         S = S_ref[:]
         spp = spp_ref[:]
         spv = spv_ref[:]
@@ -116,6 +126,7 @@ def _tick_kernel(control_cfg, physics_cfg, control_dt: float, T: int,
         big = jnp.full((1, B), 1e30, S.dtype)
         min_dist = big
         min_alt = big
+        min_clear = big
         track_sum = jnp.zeros((1, B), S.dtype)
 
         for j in range(T):
@@ -318,6 +329,10 @@ def _tick_kernel(control_cfg, physics_cfg, control_dt: float, T: int,
             min_dist = jnp.minimum(min_dist, dist)
             min_alt = jnp.minimum(min_alt, pos[2])
             track_sum = track_sum + terr
+            for k in range(num_obstacles):
+                ovec = tuple(pos[d] - row(obs, 4 * k + d) for d in range(3))
+                clear = norm3(ovec) - row(obs, 4 * k + 3)
+                min_clear = jnp.minimum(min_clear, clear)
 
         # ---- write back ----
         zero = jnp.zeros_like(fcount)
@@ -328,7 +343,7 @@ def _tick_kernel(control_cfg, physics_cfg, control_dt: float, T: int,
         )
         rows += [zero] * (_ROWS - len(rows))
         out_ref[:] = jnp.concatenate(rows, axis=0)
-        acc_rows = [min_dist, track_sum, min_alt] + [zero] * 5
+        acc_rows = [min_dist, track_sum, min_alt, min_clear] + [zero] * 4
         acc_ref[:] = jnp.concatenate(acc_rows, axis=0)
 
     return kernel
@@ -350,11 +365,14 @@ def run_tick_block(
     sp_vel: Array,
     sp_acc: Array,
     goal_wind: Array,  # (8, B): goal rows 0-2, wind rows 3-5
+    obstacle_rows: Array | None = None,  # (4K, B): cx,cy,cz,r per sphere
     block_b: int = 1024,
     interpret: bool = False,
 ) -> tuple[Array, Array]:
     """Execute one fused tick block. Returns (new_state_rows, accum_rows)
-    with accum rows 0=min dist, 1=sum track err, 2=min altitude."""
+    with accum rows 0=min dist, 1=sum track err, 2=min altitude,
+    3=min obstacle surface clearance (1e30 when no obstacles given).
+    Inactive obstacle rows must carry r = -1e30."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -370,7 +388,16 @@ def run_tick_block(
     bspec = lambda rows: pl.BlockSpec(  # noqa: E731
         (rows, block_b), lambda i: (0, i), memory_space=pltpu.VMEM
     )
-    kernel = _tick_kernel(control_cfg, physics_cfg, control_dt, T, substeps)
+    K = 0 if obstacle_rows is None else obstacle_rows.shape[0] // 4
+    kernel = _tick_kernel(
+        control_cfg, physics_cfg, control_dt, T, substeps, num_obstacles=K
+    )
+    in_specs = [bspec(_ROWS), bspec(T3), bspec(T3), bspec(T3), bspec(8)]
+    args = [pad(state_rows), pad(sp_pos), pad(sp_vel), pad(sp_acc),
+            pad(goal_wind)]
+    if K:
+        in_specs.append(bspec(4 * K))
+        args.append(pad(obstacle_rows))
     out, acc = pl.pallas_call(
         kernel,
         out_shape=(
@@ -378,10 +405,10 @@ def run_tick_block(
             jax.ShapeDtypeStruct((8, Bp), state_rows.dtype),
         ),
         grid=grid,
-        in_specs=[bspec(_ROWS), bspec(T3), bspec(T3), bspec(T3), bspec(8)],
+        in_specs=in_specs,
         out_specs=(bspec(_ROWS), bspec(8)),
         interpret=interpret,
-    )(pad(state_rows), pad(sp_pos), pad(sp_vel), pad(sp_acc), pad(goal_wind))
+    )(*args)
     return out[:, :B], acc[:, :B]
 
 
@@ -424,6 +451,18 @@ def unpack_state(S: Array, rb_template, ctrl_template):
     return rb, ctrl
 
 
+def pack_obstacles(obstacles: Array, mask: Array) -> Array:
+    """(B, K, 4) spheres + (B, K) mask -> (4K, B) kernel rows.
+
+    Inactive rows get r = -1e30 so their clearance is ~+1e30 and never
+    wins the running minimum."""
+    obstacles = jnp.asarray(obstacles)
+    r = jnp.where(mask, obstacles[..., 3], jnp.asarray(-1e30, obstacles.dtype))
+    rows = jnp.concatenate([obstacles[..., :3], r[..., None]], axis=-1)
+    B, K = rows.shape[0], rows.shape[1]
+    return rows.reshape(B, 4 * K).T
+
+
 def setpoints_from_plan(
     positions: Array, velocities: Array, accelerations: Array,
     T: int, control_dt: float, mpc_dt: float,
@@ -433,7 +472,9 @@ def setpoints_from_plan(
     W = jnp.asarray(_lerp_weights(T, control_dt, mpc_dt, N))
 
     def to_rows(arr):
-        sp = jnp.einsum("tn,bnd->btd", W, arr)  # (B, T, 3)
+        sp = jnp.einsum(  # (B, T, 3); fp32 — setpoints feed the 400 Hz loop
+            "tn,bnd->btd", W, arr, precision=jax.lax.Precision.HIGHEST
+        )
         return sp.reshape(arr.shape[0], 3 * T).T  # rows t*3+d
 
     return to_rows(positions), to_rows(velocities), to_rows(accelerations)

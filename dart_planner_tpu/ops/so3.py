@@ -15,10 +15,25 @@ Convention: Euler angles are (roll, pitch, yaw) with R = Rz(yaw) @ Ry(pitch)
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax
 
 Array = jnp.ndarray
 
 _EPS = 1e-6
+
+
+def mm(a: Array, b: Array) -> Array:
+    """fp32 matmul for rotation chains.
+
+    On TPU, ``a @ b`` on fp32 inputs defaults to ONE bf16 MXU pass
+    (~0.4% relative error). A 400 Hz closed loop multiplies ~2,400
+    rotation increments per episode; at bf16 the attitude estimate
+    disintegrates (measured Monte-Carlo success 0.154 vs 0.603 — see
+    docs/kernel.md "TPU precision postmortem"). Every rotation-matrix
+    product in this package must go through here. The 3x3 shapes are
+    VPU-sized, so HIGHEST costs nothing.
+    """
+    return jnp.matmul(a, b, precision=lax.Precision.HIGHEST)
 
 
 def hat(v: Array) -> Array:
@@ -157,7 +172,7 @@ def thrust_yaw_to_rotmat(thrust_vec: Array, yaw: Array) -> Array:
 def attitude_error(R: Array, R_des: Array) -> Array:
     """Geometric attitude error e_R = 0.5 * vee(R_d^T R - R^T R_d)
     (reference geometric_controller.py:681)."""
-    Rd_T_R = jnp.swapaxes(R_des, -1, -2) @ R
+    Rd_T_R = mm(jnp.swapaxes(R_des, -1, -2), R)
     return 0.5 * vee(Rd_T_R - jnp.swapaxes(Rd_T_R, -1, -2))
 
 
@@ -170,7 +185,7 @@ def body_rates_from_rotmats(Rs: Array, dt: float | Array) -> Array:
     """
     R_prev = jnp.concatenate([Rs[..., :1, :, :], Rs[..., :-1, :, :]], axis=-3)
     R_dot = (Rs - R_prev) / dt
-    omega_mat = jnp.swapaxes(Rs, -1, -2) @ R_dot
+    omega_mat = mm(jnp.swapaxes(Rs, -1, -2), R_dot)
     omega = vee(omega_mat)
     # first step has no predecessor -> zero
     return omega.at[..., 0, :].set(0.0)
@@ -191,7 +206,7 @@ def exp_so3(w: Array) -> Array:
     )
     W = hat(w)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
-    return eye + a[..., None, None] * W + b[..., None, None] * (W @ W)
+    return eye + a[..., None, None] * W + b[..., None, None] * mm(W, W)
 
 
 def log_so3(R: Array) -> Array:

@@ -286,7 +286,9 @@ def simulate_lidar_scan(
     )
     oc = position - obstacles[:, :3]  # (K, 3)
     r2 = obstacles[:, 3] ** 2
-    b = jnp.einsum("rd,kd->rk", dirs, oc)  # (R, K)
+    b = jnp.einsum(  # (R, K); fp32 — bf16-default on TPU shifts hit cells
+        "rd,kd->rk", dirs, oc, precision=jax.lax.Precision.HIGHEST
+    )
     c = jnp.sum(oc * oc, axis=-1)[None, :] - r2[None, :]
     disc = b * b - c
     sqrt_disc = jnp.sqrt(jnp.maximum(disc, 0.0))

@@ -79,6 +79,14 @@ class SE3MPCConfig(NamedTuple):
     ground_weight: float = 50000.0  # ground-clearance hinge (novel vs reference)
     min_altitude: float = 0.3  # m
     velocity_bound_weight: float = 1000.0  # +-max_velocity hinge (ref box bound)
+    # Thrust-feasibility hinges (novel vs reference; costs.CostWeights
+    # docstring): keep ||u_xy|| <= tan(max_tilt) u_z and ||u|| <= max_thrust.
+    # The reference's per-axis box admits ~85deg-tilt / sqrt(3) u_max
+    # corners that a tilt-limited vehicle cannot track; plans built on them
+    # lose the closed loop (measured on TPU, 2048 windy episodes: MC
+    # success 0.609 -> 1.000 when enabled; docs/kernel.md postmortem).
+    tilt_weight: float = 10.0
+    thrust_norm_weight: float = 10.0
 
     mass: float = 1.5  # kg (se3_mpc_planner.py:149)
     gravity: float = 9.81
@@ -98,6 +106,10 @@ class SE3MPCConfig(NamedTuple):
             ground_altitude=self.min_altitude,
             velocity_bound=self.velocity_bound_weight,
             max_velocity=self.max_velocity,
+            tilt=self.tilt_weight,
+            tan_max_tilt=float(np.tan(self.max_tilt_angle)),
+            thrust_norm=self.thrust_norm_weight,
+            max_thrust_norm=self.max_thrust,
         )
 
     @property
@@ -231,7 +243,13 @@ def solve_se3_mpc(
     Sp = jnp.asarray(S_p_np, dtype) / mass
     Sv = jnp.asarray(S_v_np, dtype) / mass
     hi = jax.lax.Precision.HIGHEST
-    use_penalties = use_obstacles or w.ground > 0.0 or w.velocity_bound > 0.0
+    use_penalties = (
+        use_obstacles
+        or w.ground > 0.0
+        or w.velocity_bound > 0.0
+        or w.tilt > 0.0
+        or w.thrust_norm > 0.0
+    )
 
     def cost_fn(uu):
         return costs.condensed_cost(uu, prob, w, dt, mass, gvec)
@@ -256,11 +274,11 @@ def solve_se3_mpc(
         # pullback through S_p / S_v of per-step 3x3 blocks — all small
         # MXU einsums, so cost scales with batch, not n^3.
         if use_penalties:
-            Hp, Hv = costs.penalty_blocks(
+            Hp, Hv, Hu = costs.penalty_blocks(
                 u, prob, w, dt, mass, gvec, include_obstacles=use_obstacles
             )
         else:
-            Hp = Hv = None
+            Hp = Hv = Hu = None
 
         def matvec(dv):
             dv = dv * free
@@ -273,6 +291,11 @@ def solve_se3_mpc(
                 out = out + jnp.einsum(
                     "ki,...ka->...ia", Sv, Hv * yv, precision=hi
                 )
+            if Hu is not None:
+                # thrust-space GN blocks act directly on dv (no S pullback)
+                out = out + jnp.einsum(
+                    "...kab,...kb->...ka", Hu, dv, precision=hi
+                )
             return out * free
 
         diag = diag_quad
@@ -282,6 +305,8 @@ def solve_se3_mpc(
                 "ki,...ka->...ia", Sp * Sp, Hp_diag, precision=hi
             )
             diag = diag + jnp.einsum("ki,...ka->...ia", Sv * Sv, Hv, precision=hi)
+        if Hu is not None:
+            diag = diag + jnp.diagonal(Hu, axis1=-2, axis2=-1)
         minv = free / jnp.maximum(diag, 1e-8)
 
         b = -(g * free)

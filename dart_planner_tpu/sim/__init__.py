@@ -20,6 +20,11 @@ from dart_planner_tpu.sim.closed_loop import (
     simulate_episode,
     monte_carlo,
 )
+from dart_planner_tpu.sim.worlds import (
+    WorldConfig,
+    sample_worlds,
+    perceive_worlds,
+)
 
 __all__ = [
     "PhysicsConfig",
@@ -31,4 +36,7 @@ __all__ = [
     "EpisodeResult",
     "simulate_episode",
     "monte_carlo",
+    "WorldConfig",
+    "sample_worlds",
+    "perceive_worlds",
 ]

@@ -54,7 +54,8 @@ class EpisodeResult(NamedTuple):
     final_distance: Array  # (...,)
     min_distance: Array  # (...,) closest approach to goal
     tracking_rmse: Array  # (...,) plan-vs-actual position RMSE
-    crashed: Array  # (...,) bool
+    min_obstacle_clearance: Array  # (...,) surface clearance to TRUE world
+    crashed: Array  # (...,) bool (ground or obstacle strike)
     success: Array  # (...,) bool
 
 
@@ -67,12 +68,22 @@ def simulate_episode(
     obstacles: Optional[Array] = None,
     obstacle_mask: Optional[Array] = None,
     method: str = "xla",
+    true_obstacles: Optional[Array] = None,
+    true_obstacle_mask: Optional[Array] = None,
 ) -> EpisodeResult:
     """Closed-loop episode(s): natively batched over any leading dims of
     ``state0``/``goal`` (also composes with vmap when ``method="xla"``).
     ``method`` picks the MPC solver per replan — batched calls on TPU can
     use the fused Pallas kernel (``"auto"``/``"fused"``), which a vmapped
-    episode cannot (pallas_call has no batching rule)."""
+    episode cannot (pallas_call has no batching rule).
+
+    ``obstacles`` is what the PLANNER sees (e.g. the mapper's perceived
+    set; safety margin added here as ``make_problem`` does).
+    ``true_obstacles`` is the world the plant can strike — defaults to
+    the planner set without margin. Flying inside a true sphere marks
+    the episode crashed (reference analog: the mapper feed,
+    cloud/main_improved_threelayer.py:381-398, which only ever planned
+    against perceived voxels)."""
     mpc = config.mpc
     dtype = state0.position.dtype
     batch_shape = state0.position.shape[:-1]
@@ -94,6 +105,14 @@ def simulate_episode(
         obstacles = jnp.asarray(obstacles, dtype)
         if obstacle_mask is None:
             obstacle_mask = jnp.ones(obstacles.shape[:-1], bool)
+        if true_obstacles is None:
+            # default TRUE world = the planner set, without safety margin
+            true_obstacles, true_obstacle_mask = obstacles, obstacle_mask
+    track_collisions = true_obstacles is not None
+    if track_collisions:
+        true_obstacles = jnp.asarray(true_obstacles, dtype)
+        if true_obstacle_mask is None:
+            true_obstacle_mask = jnp.ones(true_obstacles.shape[:-1], bool)
     # pre-add safety margin as make_problem does
     obstacles = obstacles.at[..., 3].add(
         jnp.where(obstacle_mask, mpc.safety_margin, 0.0)
@@ -152,15 +171,28 @@ def simulate_episode(
                 ],
                 axis=0,
             )
+            obs_rows = None
+            if track_collisions:
+                tobs = jnp.broadcast_to(
+                    true_obstacles, (B,) + true_obstacles.shape[-2:]
+                )
+                tmask = jnp.broadcast_to(
+                    true_obstacle_mask, tobs.shape[:-1]
+                )
+                obs_rows = pallas_rollout.pack_obstacles(tobs, tmask).astype(
+                    S.dtype
+                )
             S2, acc = pallas_rollout.run_tick_block(
                 config.control, config.physics, config.control_dt,
                 n_sub, config.physics_substeps,
-                S, spp, spv, spa, gw,
+                S, spp, spv, spa, gw, obs_rows,
                 interpret=jax.default_backend() != "tpu",
             )
             rb2, cs2 = pallas_rollout.unpack_state(S2, rb, ctrl_state)
             t2 = t + n_sub * config.control_dt
-            return (rb2, cs2, res.thrusts, t2), (acc[0], acc[1], acc[2])
+            return (rb2, cs2, res.thrusts, t2), (
+                acc[0], acc[1], acc[2], acc[3],
+            )
 
         def control_tick(carry2, sub_idx):
             rb2, cs2, t2 = carry2
@@ -197,58 +229,67 @@ def simulate_episode(
                 rb3 = phys.rigid_body_step(config.physics, rb3, cmd, h, wind)
             dist = jnp.linalg.norm(rb3.position - goal, axis=-1)
             track_err = jnp.sum((rb3.position - sp.position) ** 2, axis=-1)
+            if track_collisions:
+                diff = rb3.position[..., None, :] - true_obstacles[..., :3]
+                clear_k = jnp.linalg.norm(diff, axis=-1) - true_obstacles[
+                    ..., 3
+                ]
+                clear = jnp.min(
+                    jnp.where(true_obstacle_mask, clear_k, jnp.inf), axis=-1
+                )
+            else:
+                clear = jnp.full(dist.shape, 1e30, dtype)
             return (rb3, cs3, t2 + config.control_dt), (
-                dist, track_err, rb3.position[..., 2],
+                dist, track_err, rb3.position[..., 2], clear,
             )
 
-        (rb, ctrl_state, t), (dists, terrs, alts) = jax.lax.scan(
+        (rb, ctrl_state, t), (dists, terrs, alts, clears) = jax.lax.scan(
             control_tick, (rb, ctrl_state, t), jnp.arange(n_sub)
         )
         return (rb, ctrl_state, res.thrusts, t), (
             jnp.min(dists, axis=0),
             jnp.sum(terrs, axis=0),
             jnp.min(alts, axis=0),
+            jnp.min(clears, axis=0),
         )
 
     init = (rb0, ctrl0, u0, state0.timestamp.astype(dtype))
-    (rb, _, _, _), (min_dists, terr_sums, min_alts) = jax.lax.scan(
-        replan_block, init, jnp.arange(config.num_replans)
+    (rb, _, _, _), (min_dists, terr_sums, min_alts, min_clears) = (
+        jax.lax.scan(replan_block, init, jnp.arange(config.num_replans))
     )
 
     final_dist = jnp.linalg.norm(rb.position - goal, axis=-1)
     min_dist = jnp.minimum(jnp.min(min_dists, axis=0), final_dist)
     total_ticks = config.num_replans * n_sub
     rmse = jnp.sqrt(jnp.sum(terr_sums, axis=0) / total_ticks)
-    crashed = jnp.min(min_alts, axis=0) < config.min_altitude
+    min_clear = jnp.min(min_clears, axis=0)
+    crashed = (jnp.min(min_alts, axis=0) < config.min_altitude) | (
+        min_clear < 0.0
+    )
     return EpisodeResult(
         final_position=rb.position,
         final_distance=final_dist,
         min_distance=min_dist,
         tracking_rmse=rmse,
+        min_obstacle_clearance=min_clear,
         crashed=crashed,
         success=(final_dist < config.goal_tolerance) & ~crashed,
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("config", "num_episodes", "method")
-)
-def monte_carlo(
-    config: ClosedLoopConfig,
+@functools.partial(jax.jit, static_argnames=("num_episodes",))
+def sample_fleet(
     key: Array,
     num_episodes: int,
     start_center: Array,
     goal_center: Array,
     start_spread: float = 2.0,
     goal_spread: float = 2.0,
-    obstacles: Optional[Array] = None,
-    obstacle_mask: Optional[Array] = None,
-    method: str = "auto",
-) -> EpisodeResult:
-    """Randomized fleet as ONE natively-batched episode call (reference
-    test_monte_carlo_sim.py: 20 seeded runs, >=80%% goal-reach; here the
-    whole fleet is one executable and scales to thousands of episodes per
-    chip, using the fused Pallas solver on TPU)."""
+) -> tuple[Array, DroneState, Array]:
+    """Randomized fleet initial conditions: (episode_key, states, goals).
+
+    Exposed so world randomization (sim.worlds) can place obstacle fields
+    on the *actual* per-episode start->goal corridors."""
     dtype = jnp.asarray(start_center).dtype
     keys = jax.random.split(key, 3)
     ep_key, k_start, k_goal = keys[0], keys[1], keys[2]
@@ -267,7 +308,36 @@ def monte_carlo(
         attitude=jnp.zeros((num_episodes, 3), dtype),
         angular_velocity=jnp.zeros((num_episodes, 3), dtype),
     )
+    return ep_key, states, goals
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "num_episodes", "method")
+)
+def monte_carlo(
+    config: ClosedLoopConfig,
+    key: Array,
+    num_episodes: int,
+    start_center: Array,
+    goal_center: Array,
+    start_spread: float = 2.0,
+    goal_spread: float = 2.0,
+    obstacles: Optional[Array] = None,
+    obstacle_mask: Optional[Array] = None,
+    method: str = "auto",
+    true_obstacles: Optional[Array] = None,
+    true_obstacle_mask: Optional[Array] = None,
+) -> EpisodeResult:
+    """Randomized fleet as ONE natively-batched episode call (reference
+    test_monte_carlo_sim.py: 20 seeded runs, >=80%% goal-reach; here the
+    whole fleet is one executable and scales to thousands of episodes per
+    chip, using the fused Pallas solver on TPU)."""
+    ep_key, states, goals = sample_fleet(
+        key, num_episodes, start_center, goal_center, start_spread,
+        goal_spread,
+    )
     return simulate_episode(
         config, ep_key, states, goals, obstacles, obstacle_mask,
-        method=method,
+        method=method, true_obstacles=true_obstacles,
+        true_obstacle_mask=true_obstacle_mask,
     )

@@ -1,0 +1,226 @@
+"""Per-episode randomized obstacle worlds + mapper perception pipeline.
+
+BASELINE config 4 demands Monte-Carlo fleets over "randomized starts, wind
+disturbances, obstacle fields from the explicit mapper". The reference
+builds its planner obstacle set by polling the mapper at 10 Hz
+(/root/reference/src/dart_planner/cloud/main_improved_threelayer.py:381-398)
+but never randomizes worlds per run. Here each episode gets
+
+- a TRUE world: K corridor-blocking spheres sampled per episode (what the
+  plant can crash into), and
+- a PERCEIVED world: lidar scans rasterized through the explicit mapper
+  (``perception.mapper``), then ``extract_obstacles`` — what the planner
+  is allowed to see.
+
+The gap between the two (voxel quantization, occlusion, horizontal-scan
+geometry) is the realistic perception error the closed loop must survive.
+Everything is fixed-shape and vmapped; perception runs in lax.map chunks
+so the dense per-episode voxel grids never exist all at once.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dart_planner_tpu.perception import mapper as gm
+
+Array = jnp.ndarray
+
+
+class WorldConfig(NamedTuple):
+    """Static world-randomization parameters (hashable, jit cache key)."""
+
+    num_obstacles: int = 3  # true spheres per episode
+    radius_min: float = 0.4  # m
+    radius_max: float = 0.8  # m
+    lateral_jitter: float = 1.5  # m, perpendicular offset from the corridor
+    z_jitter: float = 0.4  # m, vertical offset from the corridor line
+    keepout: float = 1.8  # m, min distance from start/goal centers
+    # mapper used for perception (small local grid; one alive per chunk)
+    mapper: gm.MapperConfig = gm.MapperConfig(
+        resolution=0.5, grid_size=(64, 64, 32), origin=(-16.0, -16.0, -4.0)
+    )
+    scan_points: int = 3  # lidar scans along the corridor
+    scan_z_band: float = 0.8  # m, vertical band the scan planes cover
+    num_rays: int = 360
+    perceive_chunk: int = 256  # episodes per lax.map chunk
+
+
+@functools.partial(jax.jit, static_argnames=("config", "n"))
+def sample_worlds(
+    config: WorldConfig,
+    key: Array,
+    n: int,
+    starts: Array,  # (n, 3) or (3,)
+    goals: Array,  # (n, 3) or (3,)
+) -> tuple[Array, Array]:
+    """Sample per-episode true sphere worlds (n, K, 4) + mask (n, K).
+
+    Spheres sit ON the start->goal corridor (fraction t in [0.25, 0.75]
+    of the line) with lateral/vertical jitter, then are pushed out of the
+    start/goal keepout balls along the lateral direction so every episode
+    stays feasible but the direct line is contested.
+    """
+    K = config.num_obstacles
+    dtype = jnp.asarray(starts).dtype
+    starts = jnp.broadcast_to(starts, (n, 3)).astype(dtype)
+    goals = jnp.broadcast_to(goals, (n, 3)).astype(dtype)
+    k_t, k_lat, k_z, k_r, k_side = jax.random.split(key, 5)
+
+    t = jax.random.uniform(k_t, (n, K, 1), dtype, 0.25, 0.75)
+    on_line = starts[:, None, :] + t * (goals - starts)[:, None, :]
+
+    # lateral unit vector: horizontal perpendicular of the corridor
+    d = goals - starts
+    lat = jnp.stack(
+        [-d[:, 1], d[:, 0], jnp.zeros_like(d[:, 0])], axis=-1
+    )
+    lat = lat / jnp.maximum(
+        jnp.linalg.norm(lat, axis=-1, keepdims=True), 1e-6
+    )
+
+    off = config.lateral_jitter * jax.random.normal(k_lat, (n, K, 1), dtype)
+    dz = config.z_jitter * jax.random.normal(k_z, (n, K, 1), dtype)
+    centers = on_line + off * lat[:, None, :]
+    centers = centers.at[..., 2].add(dz[..., 0])
+    centers = centers.at[..., 2].set(jnp.maximum(centers[..., 2], 0.5))
+
+    radii = jax.random.uniform(
+        k_r, (n, K, 1), dtype, config.radius_min, config.radius_max
+    )
+
+    # enforce keepout from start and goal: push along +-lateral
+    side = jnp.sign(
+        jax.random.normal(k_side, (n, K, 1), dtype) + 1e-3
+    )
+    for anchor in (starts, goals):
+        gap = jnp.linalg.norm(
+            centers - anchor[:, None, :], axis=-1, keepdims=True
+        )
+        need = jnp.maximum(config.keepout + radii - gap, 0.0)
+        centers = centers + need * side * lat[:, None, :]
+
+    obstacles = jnp.concatenate([centers, radii], axis=-1)  # (n, K, 4)
+    mask = jnp.ones((n, K), bool)
+    return obstacles, mask
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "max_obstacles")
+)
+def _perceive_one(
+    config: WorldConfig,
+    true_obs: Array,  # (K, 4)
+    true_mask: Array,  # (K,)
+    start: Array,  # (3,)
+    goal: Array,  # (3,)
+    max_obstacles: int,
+) -> tuple[Array, Array]:
+    """One episode's perception: scans -> log-odds map -> top-K obstacles."""
+    mc = config.mapper
+    vm = gm.create_map(mc, dtype=true_obs.dtype)
+    for i in range(config.scan_points):
+        u = i / max(config.scan_points - 1, 1)
+        frac = u * 0.6  # 0 .. 0.6 of the line
+        pos = start + frac * (goal - start)
+        # the lidar is horizontal: stagger the sensor plane across the
+        # z-jitter band so vertically offset spheres are still cut
+        pos = pos.at[2].add((u - 0.5) * config.scan_z_band)
+        o, dirs, hd = gm.simulate_lidar_scan(
+            mc, pos, true_obs, true_mask, num_rays=config.num_rays
+        )
+        vm = gm.update_with_scan(mc, vm, o, dirs, hd)
+    mid = 0.5 * (start + goal)
+    return gm.extract_obstacles(mc, vm, mid, max_obstacles=max_obstacles)
+
+
+def perceive_worlds(
+    config: WorldConfig,
+    true_obs: Array,  # (n, K, 4)
+    true_mask: Array,  # (n, K)
+    starts: Array,  # (n, 3) or (3,)
+    goals: Array,  # (n, 3) or (3,)
+    max_obstacles: int = 8,
+) -> tuple[Array, Array]:
+    """Mapper-perceived obstacle sets for every episode: (n, Kp, 4) + mask.
+
+    Chunked ``lax.map`` over a vmapped single-episode pipeline so only
+    ``perceive_chunk`` dense voxel grids are alive at once (64x64x32 fp32
+    = 512 KB each).
+    """
+    n = true_obs.shape[0]
+    starts = jnp.broadcast_to(starts, (n, 3)).astype(true_obs.dtype)
+    goals = jnp.broadcast_to(goals, (n, 3)).astype(true_obs.dtype)
+
+    fn = jax.vmap(
+        functools.partial(_perceive_one, config, max_obstacles=max_obstacles)
+    )
+    chunk = min(config.perceive_chunk, n)
+    if n % chunk:  # pad to a whole number of chunks
+        pad = chunk - n % chunk
+        true_obs = jnp.concatenate([true_obs, true_obs[:pad]], axis=0)
+        true_mask = jnp.concatenate([true_mask, true_mask[:pad]], axis=0)
+        starts = jnp.concatenate([starts, starts[:pad]], axis=0)
+        goals = jnp.concatenate([goals, goals[:pad]], axis=0)
+    m = true_obs.shape[0] // chunk
+
+    def body(args):
+        to, tm, s, g = args
+        return fn(to, tm, s, g)
+
+    obs, mask = jax.lax.map(
+        body,
+        (
+            true_obs.reshape(m, chunk, *true_obs.shape[1:]),
+            true_mask.reshape(m, chunk, *true_mask.shape[1:]),
+            starts.reshape(m, chunk, 3),
+            goals.reshape(m, chunk, 3),
+        ),
+    )
+    Kp = obs.shape[-2]
+    return (
+        obs.reshape(m * chunk, Kp, 4)[:n],
+        mask.reshape(m * chunk, Kp)[:n],
+    )
+
+
+def monte_carlo_with_worlds(
+    loop_config,
+    world_config: WorldConfig,
+    key: Array,
+    num_episodes: int,
+    start_center: Array,
+    goal_center: Array,
+    start_spread: float = 2.0,
+    goal_spread: float = 2.0,
+    method: str = "auto",
+):
+    """The full BASELINE config-4 fleet: randomized starts/goals + wind +
+    per-episode TRUE obstacle worlds, PERCEIVED through the explicit
+    mapper, planner flying on the perceived set, crashes judged against
+    truth. Returns (EpisodeResult, true_obstacles, perceived_obstacles).
+    """
+    from dart_planner_tpu.sim import closed_loop
+
+    k_fleet, k_world = jax.random.split(key)
+    ep_key, states, goals = closed_loop.sample_fleet(
+        k_fleet, num_episodes, start_center, goal_center, start_spread,
+        goal_spread,
+    )
+    tobs, tmask = sample_worlds(
+        world_config, k_world, num_episodes, states.position, goals
+    )
+    pobs, pmask = perceive_worlds(
+        world_config, tobs, tmask, states.position, goals,
+        max_obstacles=loop_config.mpc.max_obstacles,
+    )
+    res = closed_loop.simulate_episode(
+        loop_config, ep_key, states, goals, obstacles=pobs,
+        obstacle_mask=pmask, method=method, true_obstacles=tobs,
+        true_obstacle_mask=tmask,
+    )
+    return res, (tobs, tmask), (pobs, pmask)

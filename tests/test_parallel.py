@@ -35,6 +35,8 @@ def test_fleet_matches_single_chip():
         max_iterations=6,
         ground_weight=0.0,
         velocity_bound_weight=0.0,
+        tilt_weight=0.0,
+        thrust_norm_weight=0.0,
     )
     batch = 32
     prob = _random_problem(config, batch)
