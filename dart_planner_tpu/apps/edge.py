@@ -26,6 +26,12 @@ from dart_planner_tpu.common.timing import TimingConfig, TimingManager
 from dart_planner_tpu.common.types import Trajectory
 from dart_planner_tpu.comms import SecureSerializer, ZmqClient
 from dart_planner_tpu.hardware.simulated_vehicle import SimulatedVehicleIO
+from dart_planner_tpu.runtime.integration import (
+    RealTimeManager,
+    control_loop_task,
+    planning_loop_task,
+    safety_task,
+)
 
 logger = get_logger("apps.edge")
 
@@ -93,8 +99,10 @@ class EdgeController:
         else:
             self.tier = FailsafeTier.EMERGENCY
 
-    def _fetch_trajectory(self) -> bool:
-        """10 Hz cloud exchange (E:97-118)."""
+    def _exchange_with_cloud(self) -> Optional[Trajectory]:
+        """Blocking ZMQ round trip (E:97-118). Pure I/O — runs on a
+        worker thread; the smoother splice happens back on the event
+        loop (``_apply_trajectory``) so vehicle state is single-threaded."""
         state = self.vehicle.get_state()
         try:
             self.client.send_request(
@@ -107,48 +115,58 @@ class EdgeController:
             )
             out = self.client.send_request("get_trajectory")
         except CommunicationError:
-            return False
+            return None
         if not out or not out.get("available"):
-            return False
-        traj = Trajectory(
+            return None
+        return Trajectory(
             timestamps=jnp.asarray(out["timestamps"], jnp.float32),
             positions=jnp.asarray(out["positions"], jnp.float32),
             velocities=jnp.asarray(out["velocities"], jnp.float32),
             accelerations=jnp.asarray(out["accelerations"], jnp.float32),
         )
-        # splice through the smoother (E:111); smoother timeline is sim time
-        self.vehicle.smoother_state = __import__(
-            "dart_planner_tpu.control.smoother", fromlist=["update_trajectory"]
-        ).update_trajectory(
+
+    def _apply_trajectory(self, traj: Trajectory) -> None:
+        """Splice through the smoother (E:111); timeline is sim time."""
+        from dart_planner_tpu.control import smoother
+
+        self.vehicle.smoother_state = smoother.update_trajectory(
             self.vehicle.smoother_config,
             self.vehicle.smoother_state,
             traj,
             jnp.asarray(self.vehicle.sim_time, jnp.float32),
         )
         self.last_cloud_ok = time.time()
+
+    def _fetch_trajectory(self) -> bool:
+        """Synchronous exchange+apply (tests / non-scheduled callers)."""
+        traj = self._exchange_with_cloud()
+        if traj is None:
+            return False
+        self._apply_trajectory(traj)
         return True
 
     async def run(self, duration: float = 10.0) -> Dict[str, Any]:
-        """Main loop (E:86-192). Returns run statistics (E:198-238)."""
+        """Main loop (E:86-192) on the real-time integration layer: the
+        control/planning/safety loops are registered through the
+        ``@control_loop_task``/``@planning_loop_task``/``@safety_task``
+        decorators onto a ``RealTimeManager`` (reference
+        real_time_integration.py:413-491 + edge/main_quartic_improved.py),
+        which paces them at their configured rates with deadline/overrun
+        accounting. Returns run statistics (E:198-238)."""
         await self.vehicle.connect()
         await self.vehicle.arm()
         self._running = True
         # grace period: tier timers start at launch, not epoch
         self.last_cloud_ok = time.time()
-        dt = 1.0 / self.config.control_frequency
-        comms_period = 1.0 / self.config.comms_frequency
-        next_comms = 0.0
+        manager = RealTimeManager()
+        emergency = asyncio.Event()
         ticks = 0
-        t_start = time.time()
-        while self._running and time.time() - t_start < duration:
-            now = time.time()
-            if now >= next_comms:
-                self._fetch_trajectory()
-                self._update_tier(now)
-                next_comms = now + comms_period
-            if self.tier is FailsafeTier.EMERGENCY:
-                await self.vehicle.emergency_stop()
-                break
+
+        @control_loop_task(
+            frequency_hz=self.config.control_frequency, manager=manager
+        )
+        def control_tick():
+            nonlocal ticks
             state = self.vehicle.step()
             ticks += 1
             if ticks % 20 == 0:
@@ -161,7 +179,47 @@ class EdgeController:
                         "tier": self.tier.value,
                     }
                 )
-            await asyncio.sleep(0)  # cooperative; vehicle.step is the clock
+
+        @planning_loop_task(
+            frequency_hz=self.config.comms_frequency, manager=manager
+        )
+        async def comms_exchange():
+            # socket poll on a worker thread: the scheduler keeps the
+            # 400 Hz control tick running while this is in flight
+            loop = asyncio.get_running_loop()
+            traj = await loop.run_in_executor(None, self._exchange_with_cloud)
+            if traj is not None:
+                self._apply_trajectory(traj)
+
+        # comms timeouts overrun the 10 Hz slot by design; loss of cloud
+        # contact is handled by the tier failsafe, not task auto-disable
+        manager.planning_task.max_consecutive_overruns = 10**9
+        # never silently stop flying the vehicle: a degraded control loop
+        # is strictly safer than no control loop (overruns still counted)
+        manager.control_task.max_consecutive_overruns = 10**9
+
+        @safety_task(frequency_hz=100.0, manager=manager)
+        def tier_monitor():
+            self._update_tier(time.time())
+            if self.tier is FailsafeTier.EMERGENCY:
+                emergency.set()
+
+        t_start = time.time()
+        await manager.start()
+        try:
+            stop_waits = [
+                asyncio.create_task(asyncio.sleep(duration)),
+                asyncio.create_task(emergency.wait()),
+            ]
+            done, pending = await asyncio.wait(
+                stop_waits, return_when=asyncio.FIRST_COMPLETED
+            )
+            for p in pending:
+                p.cancel()
+        finally:
+            await manager.stop()
+        if emergency.is_set():
+            await self.vehicle.emergency_stop()
         elapsed = time.time() - t_start
         return {
             "ticks": ticks,
@@ -169,6 +227,7 @@ class EdgeController:
             "tier": self.tier.value,
             "final_position": np.asarray(self.vehicle.get_state().position),
             "log_rows": len(self.log_rows),
+            "scheduler": manager.get_stats(),
         }
 
     def stop(self) -> None:

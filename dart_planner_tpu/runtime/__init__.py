@@ -44,3 +44,29 @@ __all__ += [
     "create_control_loop",
     "native_available",
 ]
+
+from dart_planner_tpu.runtime.integration import (  # noqa: E402
+    RealTimeManager,
+    control_loop_task,
+    get_real_time_manager,
+    integrate_with_controller,
+    integrate_with_planner,
+    integrate_with_safety_system,
+    planning_loop_task,
+    real_time_task,
+    reset_real_time_manager,
+    safety_task,
+)
+
+__all__ += [
+    "RealTimeManager",
+    "control_loop_task",
+    "get_real_time_manager",
+    "integrate_with_controller",
+    "integrate_with_planner",
+    "integrate_with_safety_system",
+    "planning_loop_task",
+    "real_time_task",
+    "reset_real_time_manager",
+    "safety_task",
+]

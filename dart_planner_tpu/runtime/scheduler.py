@@ -42,6 +42,10 @@ class QuarticTask:
     priority: TaskPriority = TaskPriority.MEDIUM
     deadline_fraction: float = 0.8  # deadline = fraction * period
     enabled: bool = True
+    # per-task override of the scheduler's auto-disable threshold; None
+    # uses the scheduler default. Set high for tasks whose overruns are
+    # governed by another failsafe (e.g. comms timeouts -> tier decay).
+    max_consecutive_overruns: Optional[int] = None
 
     # runtime state
     next_execution: float = 0.0
@@ -50,6 +54,9 @@ class QuarticTask:
     execution_times_ms: deque = field(default_factory=lambda: deque(maxlen=1000))
     intervals_ms: deque = field(default_factory=lambda: deque(maxlen=1000))
     last_start: float = 0.0
+    # set while an async body is running as a background asyncio task;
+    # the scheduler will not re-dispatch until it completes
+    in_flight: bool = False
 
     @property
     def period_s(self) -> float:
@@ -78,6 +85,7 @@ class QuarticScheduler:
         self.total_executions = 0
         self.consecutive_overrun_counts: Dict[str, int] = {}
         self._stop_event: Optional[asyncio.Event] = None
+        self._in_flight_tasks: set = set()
 
     # -- task management (QS:160-188) --
     def add_task(self, task: QuarticTask) -> None:
@@ -106,6 +114,14 @@ class QuarticScheduler:
         self.running = False
         if self._stop_event is not None:
             self._stop_event.set()
+        # cancel async bodies still in flight (their done-callbacks run
+        # and clear in_flight/accounting marks them failed)
+        for bg in list(self._in_flight_tasks):
+            bg.cancel()
+        if self._in_flight_tasks:
+            await asyncio.gather(
+                *self._in_flight_tasks, return_exceptions=True
+            )
 
     async def _scheduler_loop(self) -> None:
         while self.running:
@@ -121,7 +137,7 @@ class QuarticScheduler:
         ready = [
             t
             for t in self.tasks.values()
-            if t.enabled and now >= t.next_execution
+            if t.enabled and not t.in_flight and now >= t.next_execution
         ]
         if not ready:
             return None
@@ -129,20 +145,47 @@ class QuarticScheduler:
         return ready[0]
 
     async def _execute_task(self, task: QuarticTask, now: float) -> None:
-        """Run one task with timing/overrun accounting (QS:282-356)."""
+        """Run one task with timing/overrun accounting (QS:282-356).
+
+        A body that returns a coroutine is run as a BACKGROUND asyncio
+        task so it cannot stall the cooperative loop (e.g. a comms
+        exchange awaiting a thread-pool socket poll must not starve a
+        400 Hz control tick — the reference scheduler awaits every body
+        inline and has exactly that starvation, edge/main_improved.py's
+        10 Hz ZMQ call freezing the 1 kHz loop for the poll timeout).
+        The task is not re-dispatched while its previous instance is in
+        flight; timing/overrun accounting happens at completion."""
         start = time.perf_counter()
         if task.last_start > 0:
             task.intervals_ms.append((start - task.last_start) * 1000.0)
         task.last_start = start
+        failed = False
+        result = None
         try:
             result = task.func()
-            if asyncio.iscoroutine(result):
-                await result
         except Exception:
             # a failing task must not kill the loop; disable after repeats
-            self.consecutive_overrun_counts[task.name] = (
-                self.consecutive_overrun_counts.get(task.name, 0) + 1
-            )
+            failed = True
+
+        if asyncio.iscoroutine(result):
+            task.in_flight = True
+            bg = asyncio.ensure_future(result)
+            self._in_flight_tasks.add(bg)
+
+            def _done(fut: "asyncio.Future", task=task, start=start) -> None:
+                self._in_flight_tasks.discard(fut)
+                task.in_flight = False
+                err = fut.cancelled() or fut.exception() is not None
+                self._account(task, start, failed=err)
+
+            bg.add_done_callback(_done)
+        else:
+            self._account(task, start, failed=failed)
+
+        await asyncio.sleep(0)  # cooperative yield
+
+    def _account(self, task: QuarticTask, start: float, failed: bool) -> None:
+        """Completion-time deadline/overrun bookkeeping (QS:329-356)."""
         elapsed_ms = (time.perf_counter() - start) * 1000.0
         task.execution_times_ms.append(elapsed_ms)
         task.execution_count += 1
@@ -150,11 +193,17 @@ class QuarticScheduler:
 
         if elapsed_ms / 1000.0 > task.deadline_s:
             task.missed_deadlines += 1
-        if elapsed_ms > task.period_s * 1000.0:
-            self.total_overruns += 1
+        if failed or elapsed_ms > task.period_s * 1000.0:
+            if elapsed_ms > task.period_s * 1000.0:
+                self.total_overruns += 1
             c = self.consecutive_overrun_counts.get(task.name, 0) + 1
             self.consecutive_overrun_counts[task.name] = c
-            if c >= self.max_consecutive_overruns:
+            limit = (
+                task.max_consecutive_overruns
+                if task.max_consecutive_overruns is not None
+                else self.max_consecutive_overruns
+            )
+            if c >= limit:
                 task.enabled = False  # auto-disable (QS:342-349)
                 self.consecutive_overrun_counts[task.name] = 0
         else:
@@ -166,8 +215,6 @@ class QuarticScheduler:
         if task.next_execution < now2:
             missed = int((now2 - task.next_execution) / task.period_s) + 1
             task.next_execution += missed * task.period_s
-
-        await asyncio.sleep(0)  # cooperative yield
 
     def _sleep_time(self, now: float) -> float:
         """Sleep until the earliest next execution (QS:358-379)."""
