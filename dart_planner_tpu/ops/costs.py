@@ -265,8 +265,9 @@ def penalty_blocks(
     mass: float,
     gravity_vec: Array,
     include_obstacles: bool = True,
+    full_curvature: bool = False,
 ) -> tuple[Array, Array, Array | None]:
-    """Per-step GN blocks of the hinge penalties.
+    """Per-step Hessian blocks of the hinge penalties.
 
     Returns ``(Hp, Hv_diag, Hu)`` with ``Hp`` (..., N, 3, 3) position-space
     blocks (obstacles + ground), ``Hv_diag`` (..., N, 3) diagonal
@@ -276,6 +277,17 @@ def penalty_blocks(
     solver; the full thrust-space Hessian (:func:`obstacle_gn_hessian`) is
     never materialized on the hot path — building its (..., 3N, 3N) tensor
     dominated solve time at batch 4096.
+
+    ``full_curvature=False`` gives Gauss-Newton blocks (outer products of
+    hinge gradients only). ``True`` adds the ``h * hess(h)`` terms the GN
+    model drops: for the sphere-obstacle hinge ``w max(0, r - d)^2`` the
+    distance Hessian contributes NEGATIVE tangential curvature
+    ``-2 w (h/d)(I - n n^T)`` — the "sliding around the sphere is
+    downhill" information — while the tilt-cone and thrust-norm hinges
+    (convex norms) contribute positive curvature GN underestimates. The
+    full model makes the Newton system indefinite near deep obstacle
+    violations; the solver guards with Steihaug CG truncation and a
+    clamped Jacobi diagonal (see solve_se3_mpc).
     """
     pos, vel, _ = dynamics.rollout_linear(u, prob.p0, prob.v0, dt, mass, gravity_vec)
     N_h = u.shape[-2]
@@ -289,10 +301,25 @@ def penalty_blocks(
             (r_safe[..., None, :] > d) & prob.obstacle_mask[..., None, :]
         ).astype(u.dtype)
         n = diff / d[..., None]
-        Hp = Hp + 2.0 * weights.obstacle * jnp.einsum(
-            "...nka,...nkb,...nk->...nab", n, n, active,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        if full_curvature:
+            # full Hessian of w max(0, r-d)^2:
+            #   2w [ n n^T - (h/d)(I - n n^T) ]
+            #   = 2w (1 + h/d) n n^T - 2w (h/d) I
+            hd = jnp.maximum(r_safe[..., None, :] - d, 0.0) / d
+            Hp = Hp + 2.0 * weights.obstacle * jnp.einsum(
+                "...nka,...nkb,...nk->...nab", n, n, active * (1.0 + hd),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            eye = jnp.eye(3, dtype=u.dtype)
+            Hp = Hp - (
+                2.0 * weights.obstacle
+                * jnp.sum(active * hd, axis=-1)[..., None, None]
+            ) * eye
+        else:
+            Hp = Hp + 2.0 * weights.obstacle * jnp.einsum(
+                "...nka,...nkb,...nk->...nab", n, n, active,
+                precision=jax.lax.Precision.HIGHEST,
+            )
     if weights.ground > 0.0:
         g_active = (pos[..., 2] < weights.ground_altitude).astype(u.dtype)
         Hp = Hp.at[..., 2, 2].add(2.0 * weights.ground * g_active)
@@ -307,9 +334,8 @@ def penalty_blocks(
         # v = ||u_xy|| - tan * u_z; GN block 2 w 1{v>0} (dv)(dv)^T with
         # dv = (ux/lat, uy/lat, -tan)
         lat = jnp.sqrt(jnp.sum(u[..., :2] * u[..., :2], axis=-1) + 1e-9)
-        t_active = (
-            lat - weights.tan_max_tilt * u[..., 2] > 0.0
-        ).astype(u.dtype)
+        tv = jnp.maximum(lat - weights.tan_max_tilt * u[..., 2], 0.0)
+        t_active = (tv > 0.0).astype(u.dtype)
         jv = jnp.concatenate(
             [
                 u[..., :2] / lat[..., None],
@@ -323,11 +349,30 @@ def penalty_blocks(
         Hu = Hu + 2.0 * weights.tilt * t_active[..., None, None] * (
             jv[..., :, None] * jv[..., None, :]
         )
+        if full_curvature:
+            # + 2 w tv hess(lat): hess = (I2 - q q^T)/lat on the xy block
+            # (convex; positive semidefinite)
+            q = u[..., :2] / lat[..., None]
+            eye2 = jnp.eye(2, dtype=u.dtype)
+            hxy = (eye2 - q[..., :, None] * q[..., None, :]) / lat[
+                ..., None, None
+            ]
+            Hu = Hu.at[..., :2, :2].add(
+                2.0 * weights.tilt * tv[..., None, None] * hxy
+            )
     if weights.thrust_norm > 0.0:
         un = jnp.sqrt(jnp.sum(u * u, axis=-1) + 1e-9)
-        n_active = (un > weights.max_thrust_norm).astype(u.dtype)
+        nvh = jnp.maximum(un - weights.max_thrust_norm, 0.0)
+        n_active = (nvh > 0.0).astype(u.dtype)
         nv = u / un[..., None]
         Hu = Hu + 2.0 * weights.thrust_norm * n_active[..., None, None] * (
             nv[..., :, None] * nv[..., None, :]
         )
+        if full_curvature:
+            # + 2 w nvh hess(||u||): (I - n n^T)/||u|| (convex, PSD)
+            eye3 = jnp.eye(3, dtype=u.dtype)
+            hn = (eye3 - nv[..., :, None] * nv[..., None, :]) / un[
+                ..., None, None
+            ]
+            Hu = Hu + 2.0 * weights.thrust_norm * nvh[..., None, None] * hn
     return Hp, Hv_diag, Hu

@@ -50,8 +50,8 @@ Array = jnp.ndarray
 
 _HI = jax.lax.Precision.HIGHEST
 
-# Line-search candidates (must match planning.se3_mpc._ALPHAS).
-_ALPHAS = (1.0, 0.5, 0.25, 0.1, 0.03, 0.01)
+# Line-search candidates come from SE3MPCConfig.line_search_alphas so the
+# fused kernel and the XLA path can never drift apart.
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -214,6 +214,7 @@ def _solver_kernel(
         zrow_ref,
         dq_ref,
         out_ref,
+        imp_ref,
     ):
         C_pos = cpos_ref[:]
         C_vel = cvel_ref[:]
@@ -352,7 +353,8 @@ def _solver_kernel(
                     J[g] = J[g] + extra
             return J
 
-        def newton_body(_, u):
+        def newton_body(_, carry):
+            u, _prev_imp = carry
             pos, vel, acc = rollout(u)
 
             # gradient in physical space, pulled back to thrust space
@@ -521,10 +523,11 @@ def _solver_kernel(
 
             # projected line search (current iterate is the fallback;
             # strict-improvement update == argmin with earliest-tie rule)
-            best_cost = cost_terms(pos, vel, acc, u)  # list of G (1, B)
+            cur_cost = cost_terms(pos, vel, acc, u)  # list of G (1, B)
+            best_cost = list(cur_cost)
             best_u = u
-            for a in range(len(_ALPHAS)):
-                cand = jnp.clip(u + _ALPHAS[a] * d, lb, ub)
+            for alpha in config.line_search_alphas:
+                cand = jnp.clip(u + alpha * d, lb, ub)
                 cJ = cost_terms(*rollout(cand), cand)
                 better = [cj < bc for cj, bc in zip(cJ, best_cost)]
                 best_cost = [
@@ -536,10 +539,24 @@ def _solver_kernel(
                     [jnp.broadcast_to(bt, (NP1, B)) for bt in better], axis=0
                 )
                 best_u = jnp.where(brows, cand, best_u)
-            return best_u
+            # realized relative improvement this round (ftol criterion
+            # input; matches planning.se3_mpc.solve_se3_mpc exactly)
+            imp = jnp.concatenate(
+                [
+                    (cc - bc) / (1.0 + jnp.abs(bc))
+                    for cc, bc in zip(cur_cost, best_cost)
+                ],
+                axis=0,
+            )  # (G, B)
+            return best_u, imp
 
-        u = jax.lax.fori_loop(0, config.max_iterations, newton_body, u_ref[:])
+        u0k = u_ref[:]
+        imp0 = jnp.full((G, u0k.shape[1]), jnp.inf, u0k.dtype)
+        u, imp = jax.lax.fori_loop(
+            0, config.max_iterations, newton_body, (u0k, imp0)
+        )
         out_ref[:] = u
+        imp_ref[:] = jnp.pad(imp, ((0, imp_ref.shape[0] - G), (0, 0)))
 
     return kernel
 
@@ -580,7 +597,10 @@ def solve_thrusts_fused(
     fast_cg: bool = True,
     groups: int = 1,
 ) -> Array:
-    """Run the fused solve; returns final thrusts with ``u_init``'s shape.
+    """Run the fused solve; returns ``(thrusts, last_improvement)`` where
+    thrusts has ``u_init``'s shape and last_improvement (batch-shaped) is
+    the final Newton round's realized relative cost decrease (the ftol
+    convergence-criterion input, matching the XLA path).
 
     Accepts any leading batch shape (flattened internally); the scenario
     batch is padded to a multiple of ``groups * block_b`` and blocked
@@ -673,15 +693,23 @@ def solve_thrusts_fused(
     )
 
     kernel = _solver_kernel(config, use_obstacles, NP1, KP, G, fast_cg=fast_cg)
-    u_out = pl.pallas_call(
+    IR = _round_up(G, 8)  # improvement rows, sublane-aligned
+    u_out, imp_out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((NP2, L), dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((NP2, L), dtype),
+            jax.ShapeDtypeStruct((IR, L), dtype),
+        ),
         grid=grid,
         in_specs=in_specs,
-        out_specs=bspec(NP2),
+        out_specs=(bspec(NP2), bspec(IR)),
         interpret=interpret,
     )(*per_block, *shared, *vecs)
 
     rows = _unpack_rows(u_out, nb, G, block_b)[:B, : 3 * N]  # (B, 3N)
     u_final = jnp.transpose(rows.reshape(B, 3, N), (0, 2, 1))
-    return u_final.reshape(batch_shape + (N, 3)).astype(u_init.dtype)
+    imp = _unpack_rows(imp_out[:G], nb, G, block_b)[:B, 0]  # (B,)
+    return (
+        u_final.reshape(batch_shape + (N, 3)).astype(u_init.dtype),
+        imp.reshape(batch_shape).astype(u_init.dtype),
+    )

@@ -69,12 +69,30 @@ class SE3MPCConfig(NamedTuple):
 
     max_iterations: int = 12
     convergence_tolerance: float = 5e-2
+    # Convergence is declared by realized progress (scipy L-BFGS-B ftol
+    # semantics, the criterion the reference's solver actually terminates
+    # on): relative cost decrease in the final Newton round <= ftol.
+    # Measured honest on the bench batch: scenarios converged by this
+    # criterion sit within ~2e-6 of a 60-iteration ground-truth cost at
+    # p95 (scripts/diag_convergence.py). The raw projected-gradient norm
+    # stays O(hinge weight) near active hinge boundaries even at optimum,
+    # so it is reported as a diagnostic, not used as the gate.
+    ftol: float = 1e-6
     # Inner PCG iterations per Newton step. cond(H_quad) ~ 300 with the
     # Jacobi preconditioner; measured on randomized obstacle batches,
     # 10 inner iterations matches or beats 25 on convergence rate and
     # p95 cost-vs-ground-truth (the CG loop dominates solve FLOPs, so
     # this sets throughput almost 1:1).
     cg_iterations: int = 10
+    # Projected-line-search step candidates (largest first; the current
+    # iterate is always an implicit fallback candidate).
+    line_search_alphas: tuple = (1.0, 0.5, 0.25, 0.1, 0.03, 0.01)
+    # Use full hinge Hessians (h * hess(h) terms) instead of Gauss-Newton
+    # outer products in the Newton system. The obstacle hinge's negative
+    # tangential curvature is what lets Newton slide around a sphere in
+    # one step instead of crawling; guarded by Steihaug CG truncation +
+    # clamped Jacobi diagonal (costs.penalty_blocks docstring).
+    newton_full_curvature: bool = False
 
     ground_weight: float = 50000.0  # ground-clearance hinge (novel vs reference)
     min_altitude: float = 0.3  # m
@@ -133,8 +151,11 @@ class SolveResult(NamedTuple):
     velocities: Array  # (..., N, 3)
     accelerations: Array  # (..., N, 3)
     cost: Array  # (...)
-    converged: Array  # (...) bool: projected-gradient norm under tol
-    grad_norm: Array  # (...)
+    converged: Array  # (...) bool: see _finalize docstring (ftol criterion)
+    grad_norm: Array  # (...) projected-gradient norm (diagnostic)
+    # realized relative cost decrease in the final Newton round (what the
+    # ftol convergence criterion evaluates); None on legacy paths
+    last_improvement: Optional[Array] = None
 
 
 def make_problem(
@@ -192,7 +213,7 @@ def shift_warm_start(config: SE3MPCConfig, u_prev: Array) -> Array:
 
 
 # Fixed line-search candidates: vectorized projected backtracking.
-_ALPHAS = np.array([1.0, 0.5, 0.25, 0.1, 0.03, 0.01], dtype=np.float32)
+# line-search candidates now live in SE3MPCConfig.line_search_alphas
 
 
 def _strip_obstacles(prob: costs.Problem) -> costs.Problem:
@@ -260,7 +281,8 @@ def solve_se3_mpc(
     lb_full = jnp.broadcast_to(lb, (N, 3))
     ub_full = jnp.broadcast_to(ub, (N, 3))
 
-    def body(_, u):
+    def body(_, carry):
+        u, _prev_imp = carry
         g = grad_fn(u)
         # Active set: at a bound with the gradient pushing outward.
         eps = 1e-6
@@ -275,7 +297,9 @@ def solve_se3_mpc(
         # MXU einsums, so cost scales with batch, not n^3.
         if use_penalties:
             Hp, Hv, Hu = costs.penalty_blocks(
-                u, prob, w, dt, mass, gvec, include_obstacles=use_obstacles
+                u, prob, w, dt, mass, gvec,
+                include_obstacles=use_obstacles,
+                full_curvature=config.newton_full_curvature,
             )
         else:
             Hp = Hv = Hu = None
@@ -307,35 +331,55 @@ def solve_se3_mpc(
             diag = diag + jnp.einsum("ki,...ka->...ia", Sv * Sv, Hv, precision=hi)
         if Hu is not None:
             diag = diag + jnp.diagonal(Hu, axis1=-2, axis2=-1)
-        minv = free / jnp.maximum(diag, 1e-8)
+        if config.newton_full_curvature:
+            # the full obstacle Hessian can drive diagonal entries
+            # negative; clamp the Jacobi preconditioner to a fraction of
+            # the (always-positive) quadratic diagonal
+            minv = free / jnp.maximum(diag, 0.1 * diag_quad)
+        else:
+            minv = free / jnp.maximum(diag, 1e-8)
 
         b = -(g * free)
 
         def cg_body(_, carry):
-            d, r, z, p, rz = carry
+            d, r, z, p, rz, alive = carry
             ap = matvec(p)
             pap = jnp.sum(p * ap, axis=(-1, -2), keepdims=True)
-            alpha = rz / jnp.maximum(pap, 1e-12)
+            # Steihaug truncation: on negative curvature, freeze this
+            # scenario's direction at the current partial sum (alive
+            # stays False for the remaining inner iterations)
+            alive = alive & (pap > 1e-12)
+            ok = alive.astype(d.dtype)
+            alpha = ok * rz / jnp.maximum(pap, 1e-12)
             d = d + alpha * p
             r = r - alpha * ap
             z = minv * r
             rz_new = jnp.sum(r * z, axis=(-1, -2), keepdims=True)
-            beta = rz_new / jnp.maximum(rz, 1e-12)
-            p = z + beta * p
-            return d, r, z, p, rz_new
+            beta = ok * rz_new / jnp.maximum(rz, 1e-12)
+            p = z * ok + beta * p + (1.0 - ok) * p
+            rz = jnp.where(alive, rz_new, rz)
+            return d, r, z, p, rz, alive
 
         r0 = b
         z0 = minv * r0
         rz0 = jnp.sum(r0 * z0, axis=(-1, -2), keepdims=True)
         d0 = jnp.zeros_like(b)
+        alive0 = jnp.ones(rz0.shape, bool)
         d, *_ = jax.lax.fori_loop(
-            0, config.cg_iterations, cg_body, (d0, r0, z0, z0, rz0)
+            0, config.cg_iterations, cg_body, (d0, r0, z0, z0, rz0, alive0)
         )
+        if config.newton_full_curvature:
+            # negative curvature on the very first CG step leaves d = 0;
+            # fall back to the preconditioned steepest-descent direction
+            # (standard Steihaug behaviour)
+            d_norm = jnp.sum(jnp.abs(d), axis=(-1, -2), keepdims=True)
+            d = jnp.where(d_norm > 0.0, d, z0)
         d = d * free
 
         # Vectorized projected line search: evaluate all candidate steps,
         # keep the lowest cost (never worse than alpha -> 0 / current cost).
-        alphas = jnp.asarray(_ALPHAS, dtype)
+        alphas = jnp.asarray(config.line_search_alphas, dtype)
+        n_alpha = len(config.line_search_alphas)
         cand = jnp.clip(
             u[None, ...] + alphas.reshape((-1,) + (1,) * (u.ndim)) * d[None, ...],
             lb_full,
@@ -343,24 +387,51 @@ def solve_se3_mpc(
         )  # (A, ..., N, 3)
         cand_costs = cost_fn(cand)  # (A, ...)
         cur_cost = cost_fn(u)  # (...)
-        best = jnp.argmin(
-            jnp.concatenate([cand_costs, cur_cost[None, ...]], axis=0), axis=0
-        )
+        stacked = jnp.concatenate([cand_costs, cur_cost[None, ...]], axis=0)
+        best = jnp.argmin(stacked, axis=0)
+        best_cost = jnp.min(stacked, axis=0)
         all_cand = jnp.concatenate([cand, u[None, ...]], axis=0)
         u_next = jnp.take_along_axis(
-            all_cand.reshape((len(_ALPHAS) + 1,) + batch + (N * 3,)),
+            all_cand.reshape((n_alpha + 1,) + batch + (N * 3,)),
             best.reshape((1,) + batch + (1,)),
             axis=0,
         )[0].reshape(batch + (N, 3))
-        return u_next
+        # realized relative improvement this round (ftol criterion input)
+        improvement = (cur_cost - best_cost) / (1.0 + jnp.abs(best_cost))
+        return u_next, improvement
 
-    u = jax.lax.fori_loop(0, config.max_iterations, body, u)
-    return _finalize(config, prob, u)
+    imp0 = jnp.full(batch, jnp.inf, dtype)
+    u, last_improvement = jax.lax.fori_loop(
+        0, config.max_iterations, body, (u, imp0)
+    )
+    return _finalize(config, prob, u, last_improvement)
 
 
-def _finalize(config: SE3MPCConfig, prob: costs.Problem, u: Array) -> SolveResult:
+def _finalize(
+    config: SE3MPCConfig,
+    prob: costs.Problem,
+    u: Array,
+    last_improvement: Optional[Array] = None,
+) -> SolveResult:
     """Diagnostics + dynamics-consistent rollout for a final thrust iterate
-    (shared by the XLA and fused-Pallas solver paths)."""
+    (shared by the XLA and fused-Pallas solver paths).
+
+    Convergence criterion (``SolveResult.converged``): realized relative
+    cost decrease in the final Newton round <= ``config.ftol`` — scipy
+    L-BFGS-B's ftol semantics, the rule the reference solver terminates
+    on in practice (se3_mpc_planner.py:256-268 sets ftol=10*tol). The
+    projected-gradient norm is NOT used as the gate: near active hinge
+    boundaries it stays O(hinge weight) at stationary points, and the
+    diag-preconditioned Newton decrement overestimates achievable
+    improvement when off-diagonal curvature dominates (measured in
+    scripts/diag_convergence.py: a 60-iteration ground truth "converges"
+    only 0.92 by gradient norm while its cost tail is within 0.07% of
+    optimum). Honesty of the ftol gate, measured on the bench batch:
+    scenarios it declares converged sit within ~2e-6 of the 60-iteration
+    ground-truth cost at p95. ``grad_norm`` remains in the result as a
+    diagnostic. When ``last_improvement`` is unavailable (direct legacy
+    calls), the old gradient-norm rule is used as a fallback.
+    """
     N = config.prediction_horizon
     dtype = u.dtype
     gvec = frames.gravity_vector(frames.WorldFrame.ENU, config.gravity).astype(dtype)
@@ -371,11 +442,14 @@ def _finalize(config: SE3MPCConfig, prob: costs.Problem, u: Array) -> SolveResul
     lb_full = jnp.broadcast_to(lb, (N, 3))
     ub_full = jnp.broadcast_to(ub, (N, 3))
 
-    # projected gradient norm (criticality measure for the box QP)
+    # projected gradient norm (criticality diagnostic for the box QP)
     g = costs.condensed_grad(u, prob, w, config.dt, config.mass, gvec)
     pg = jnp.clip(u - g, lb_full, ub_full) - u
     grad_norm = jnp.linalg.norm(pg.reshape(batch + (n_flat,)), axis=-1)
-    converged = grad_norm < config.convergence_tolerance * n_flat
+    if last_improvement is not None:
+        converged = last_improvement <= config.ftol
+    else:  # legacy fallback: raw projected-gradient criterion
+        converged = grad_norm < config.convergence_tolerance * n_flat
 
     pos, vel, acc = dynamics.rollout_linear(
         u, prob.p0, prob.v0, config.dt, config.mass, gvec
@@ -388,6 +462,7 @@ def _finalize(config: SE3MPCConfig, prob: costs.Problem, u: Array) -> SolveResul
         cost=costs.condensed_cost(u, prob, w, config.dt, config.mass, gvec),
         converged=converged,
         grad_norm=grad_norm,
+        last_improvement=last_improvement,
     )
 
 
@@ -415,7 +490,7 @@ def solve(
 
     if u_init is None:
         u_init = initialize_thrusts(config, prob)
-    u = pallas_mpc.solve_thrusts_fused(
+    u, last_improvement = pallas_mpc.solve_thrusts_fused(
         config,
         prob,
         u_init,
@@ -423,7 +498,7 @@ def solve(
         block_b=block_b,
         interpret=jax.default_backend() != "tpu",
     )
-    return _finalize(config, prob, u)
+    return _finalize(config, prob, u, last_improvement)
 
 
 def extract_trajectory(
