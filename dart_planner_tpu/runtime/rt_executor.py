@@ -88,6 +88,12 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p,
         ctypes.POINTER(ctypes.c_double),
     ]
+    lib.rt_get_exec_times.restype = ctypes.c_int
+    lib.rt_get_exec_times.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int,
+    ]
     _lib = lib
     return lib
 
@@ -182,6 +188,14 @@ class RealTimeControlLoop:
             "yaw_rate": out[3],
             "iteration": int(out[4]),
         }
+
+    def get_execution_times(self) -> np.ndarray:
+        """Raw per-tick execution times (s) from the 1000-entry circular
+        buffer, for host-side order statistics (p95/p99 — the reference's
+        CI gates, tests/test_real_time_latency.py:109-120)."""
+        buf = (ctypes.c_double * 1000)()
+        n = self._lib.rt_get_exec_times(self._h, buf, 1000)
+        return np.asarray(buf[:n])
 
     def get_stats(self) -> dict:
         """Stat names match the reference (pyx:285-338)."""
@@ -303,6 +317,10 @@ class PythonControlLoop:
     def get_command(self) -> Optional[dict]:
         with self._lock:
             return dict(self._command) if self._command else None
+
+    def get_execution_times(self) -> np.ndarray:
+        with self._lock:
+            return np.asarray(self._exec_times[-1000:], float)
 
     def get_stats(self) -> dict:
         et = np.asarray(self._exec_times) if self._exec_times else np.zeros(1)

@@ -175,6 +175,18 @@ class RtLoop {
     out10[9] = running_.load() ? 1.0 : 0.0;
   }
 
+  // Copy the valid execution-time samples (seconds) out of the circular
+  // buffer; returns the number copied. Lets the host compute order
+  // statistics (p95/p99) the 10-double stats ABI cannot carry — the
+  // reference CI gate is a p95 (tests/test_real_time_latency.py:109-120).
+  int get_exec_times(double* out, int max_n) {
+    std::lock_guard<std::mutex> g(mu_);
+    int c = 0;
+    for (int i = 0; i < kBufLen && c < max_n; ++i)
+      if (exec_times_[i] > 0) out[c++] = exec_times_[i];
+    return c;
+  }
+
  private:
   using clock = std::chrono::steady_clock;
 
@@ -309,6 +321,9 @@ int rt_get_command(void* h, double* out5) {
 }
 void rt_get_stats(void* h, double* out10) {
   static_cast<RtLoop*>(h)->get_stats(out10);
+}
+int rt_get_exec_times(void* h, double* out, int max_n) {
+  return static_cast<RtLoop*>(h)->get_exec_times(out, max_n);
 }
 
 }  // extern "C"
