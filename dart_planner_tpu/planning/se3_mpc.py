@@ -396,8 +396,11 @@ def solve_se3_mpc(
             best.reshape((1,) + batch + (1,)),
             axis=0,
         )[0].reshape(batch + (N, 3))
-        # realized relative improvement this round (ftol criterion input)
-        improvement = (cur_cost - best_cost) / (1.0 + jnp.abs(best_cost))
+        # realized relative improvement this round (ftol criterion input);
+        # cast keeps the carry dtype stable when x64 promotes the cost
+        improvement = (
+            (cur_cost - best_cost) / (1.0 + jnp.abs(best_cost))
+        ).astype(dtype)
         return u_next, improvement
 
     imp0 = jnp.full(batch, jnp.inf, dtype)
