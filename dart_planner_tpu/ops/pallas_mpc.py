@@ -262,9 +262,13 @@ def _solver_kernel(
             acc = uu * inv_m + g_rep
             return pos, vel, acc
 
-        def obstacle_terms(pos, want_grad: bool, want_gn: bool):
+        def obstacle_terms(pos, want_grad: bool, want_gn: bool,
+                           full_curv: bool = False):
             """Per-group cost rows (GP, B), pos-space gradient (NP2, B),
-            per-group GN block arrays."""
+            per-group Hessian block arrays. ``full_curv`` adds the
+            ``h * hess(h)`` term the GN model drops (costs.penalty_blocks:
+            Hp = 2w (1 + h/d) n n^T - 2w (h/d) I — negative tangential
+            curvature, "sliding around the sphere is downhill")."""
             B = pos.shape[1]
             J_rows = []
             grads = []
@@ -294,7 +298,15 @@ def _solver_kernel(
                         gz = gz - coef * dz
                     if want_gn:
                         act = ((r > d).astype(d.dtype) * mo) * (2.0 * w_obs)
-                        inv_d2 = act / (d * d)
+                        if full_curv:
+                            hd = viol / d
+                            inv_d2 = act * (1.0 + hd) / (d * d)
+                            diag_c = act * hd
+                            hxx = hxx - diag_c
+                            hyy = hyy - diag_c
+                            hzz = hzz - diag_c
+                        else:
+                            inv_d2 = act / (d * d)
                         hxx = hxx + inv_d2 * dx * dx
                         hyy = hyy + inv_d2 * dy * dy
                         hzz = hzz + inv_d2 * dz * dz
@@ -353,14 +365,17 @@ def _solver_kernel(
                     J[g] = J[g] + extra
             return J
 
-        def newton_body(_, carry):
-            u, _prev_imp = carry
+        def make_newton_body(full_curv):
+            return functools.partial(newton_body, full_curv)
+
+        def newton_body(full_curv, _, carry):
+            u, min_imp = carry
             pos, vel, acc = rollout(u)
 
             # gradient in physical space, pulled back to thrust space
             gpos = 2.0 * wp_row * (pos - goal)
             if use_obstacles:
-                _, g_obs, gns = obstacle_terms(pos, True, True)
+                _, g_obs, gns = obstacle_terms(pos, True, True, full_curv)
                 gpos = gpos + g_obs
             else:
                 zero_nb = jnp.zeros((N, u.shape[1]), u.dtype)
@@ -406,6 +421,7 @@ def _solver_kernel(
                     gx, gy, gz = zero, zero, zero
                     dgx, dgy, dgz = zero, zero, zero
                     at_ = jx = jy = an_ = nx = ny = nz = None
+                    ct_ = cn_ = None  # full-curvature coefficients
                     if w_tilt > 0.0:
                         lat = jnp.sqrt(ux * ux + uy * uy + 1e-9)
                         tv = jnp.maximum(lat - tan_max * uz, 0.0)
@@ -420,21 +436,33 @@ def _solver_kernel(
                         dgx = dgx + at_ * jx * jx
                         dgy = dgy + at_ * jy * jy
                         dgz = dgz + at_ * (tan_max * tan_max)
+                        if full_curv:
+                            # + 2 w tv hess(lat) = c (I2 - q q^T) / lat
+                            # (convex, PSD; costs.penalty_blocks)
+                            ct_ = c / lat
+                            dgx = dgx + ct_ * (1.0 - jx * jx)
+                            dgy = dgy + ct_ * (1.0 - jy * jy)
                     if w_tn > 0.0:
                         un = jnp.sqrt(ux * ux + uy * uy + uz * uz + 1e-9)
                         nvv = jnp.maximum(un - u_max, 0.0)
                         nx, ny, nz = ux / un, uy / un, uz / un
-                        cn = (2.0 * w_tn) * nvv
-                        gx = gx + cn * nx
-                        gy = gy + cn * ny
-                        gz = gz + cn * nz
+                        cng = (2.0 * w_tn) * nvv
+                        gx = gx + cng * nx
+                        gy = gy + cng * ny
+                        gz = gz + cng * nz
                         an_ = (2.0 * w_tn) * (un > u_max).astype(u.dtype)
                         dgx = dgx + an_ * nx * nx
                         dgy = dgy + an_ * ny * ny
                         dgz = dgz + an_ * nz * nz
+                        if full_curv:
+                            # + 2 w nvv hess(||u||) = cng (I - n n^T)/||u||
+                            cn_ = cng / un
+                            dgx = dgx + cn_ * (1.0 - nx * nx)
+                            dgy = dgy + cn_ * (1.0 - ny * ny)
+                            dgz = dgz + cn_ * (1.0 - nz * nz)
                     tgrads.append((gx, gy, gz))
                     tdiags.append((dgx, dgy, dgz))
-                    thu.append((at_, jx, jy, an_, nx, ny, nz))
+                    thu.append((at_, jx, jy, an_, nx, ny, nz, ct_, cn_))
                 grad = grad + cat_groups(tgrads)
 
             # active-set mask (bound + outward gradient)
@@ -452,7 +480,13 @@ def _solver_kernel(
                     diag = diag + mm(Sv2T, hv)
             if use_thrust_hinge:
                 diag = diag + cat_groups(tdiags)
-            minv = free / jnp.maximum(diag, 1e-8)
+            if full_curv:
+                # the full obstacle Hessian can drive diagonal entries
+                # negative; clamp the Jacobi preconditioner to a fraction
+                # of the (always-positive) quadratic diagonal
+                minv = free / jnp.maximum(diag, 0.1 * diag_quad)
+            else:
+                minv = free / jnp.maximum(diag, 1e-8)
 
             def matvec(dv):
                 dv = dv * free
@@ -478,7 +512,7 @@ def _solver_kernel(
                     ts = []
                     for g in range(G):
                         dxg, dyg, dzg = g_axes(dv, g)
-                        at_, jx, jy, an_, nx, ny, nz = thu[g]
+                        at_, jx, jy, an_, nx, ny, nz, ct_, cn_ = thu[g]
                         ox = jnp.zeros_like(dxg)
                         oy, oz = ox, ox
                         if at_ is not None:
@@ -486,11 +520,21 @@ def _solver_kernel(
                             ox = ox + s * jx
                             oy = oy + s * jy
                             oz = oz - tan_max * s
+                        if ct_ is not None:
+                            # c (I2 - q q^T)/lat on the xy block
+                            sq = jx * dxg + jy * dyg
+                            ox = ox + ct_ * (dxg - jx * sq)
+                            oy = oy + ct_ * (dyg - jy * sq)
                         if an_ is not None:
                             s = an_ * (nx * dxg + ny * dyg + nz * dzg)
                             ox = ox + s * nx
                             oy = oy + s * ny
                             oz = oz + s * nz
+                        if cn_ is not None:
+                            sn = nx * dxg + ny * dyg + nz * dzg
+                            ox = ox + cn_ * (dxg - nx * sn)
+                            oy = oy + cn_ * (dyg - ny * sn)
+                            oz = oz + cn_ * (dzg - nz * sn)
                         ts.append((ox, oy, oz))
                     out = out + cat_groups(ts)
                 return out * free
@@ -502,23 +546,38 @@ def _solver_kernel(
             d0 = jnp.zeros_like(b)
 
             def cg_body(_, carry):
-                d, r, z, p, rz = carry
+                d, r, z, p, rz, alive = carry
                 ap = matvec(p)
                 pap = jnp.concatenate(gsum(p * ap), axis=0)
-                alpha = rz / jnp.maximum(pap, 1e-12)  # (G, B)
+                # Steihaug truncation (full-curvature stage): on negative
+                # curvature, freeze this scenario's direction at the
+                # current partial sum — matches solve_se3_mpc exactly
+                alive = alive & (pap > 1e-12)
+                ok = alive.astype(d.dtype)
+                alpha = ok * rz / jnp.maximum(pap, 1e-12)  # (G, B)
                 alpha_rows = gexpand([alpha[g : g + 1] for g in range(G)])
                 d = d + alpha_rows * p
                 r = r - alpha_rows * ap
                 z = minv * r
                 rz_new = jnp.concatenate(gsum(r * z), axis=0)
-                beta = rz_new / jnp.maximum(rz, 1e-12)
+                beta = ok * rz_new / jnp.maximum(rz, 1e-12)
                 beta_rows = gexpand([beta[g : g + 1] for g in range(G)])
-                p = z + beta_rows * p
-                return d, r, z, p, rz_new
+                ok_rows = gexpand([ok[g : g + 1] for g in range(G)])
+                p = z * ok_rows + beta_rows * p + (1.0 - ok_rows) * p
+                rz = jnp.where(alive, rz_new, rz)
+                return d, r, z, p, rz, alive
 
+            alive0 = jnp.ones(rz0.shape, bool)
             d, *_ = jax.lax.fori_loop(
-                0, config.cg_iterations, cg_body, (d0, r0, z0, z0, rz0)
+                0, config.cg_iterations, cg_body,
+                (d0, r0, z0, z0, rz0, alive0),
             )
+            if full_curv:
+                # negative curvature on the very first CG step leaves
+                # d = 0; fall back to preconditioned steepest descent
+                dn = jnp.concatenate(gsum(jnp.abs(d)), axis=0)  # (G, B)
+                dn_rows = gexpand([dn[g : g + 1] for g in range(G)])
+                d = jnp.where(dn_rows > 0.0, d, z0)
             d = d * free
 
             # projected line search (current iterate is the fallback;
@@ -539,8 +598,9 @@ def _solver_kernel(
                     [jnp.broadcast_to(bt, (NP1, B)) for bt in better], axis=0
                 )
                 best_u = jnp.where(brows, cand, best_u)
-            # realized relative improvement this round (ftol criterion
-            # input; matches planning.se3_mpc.solve_se3_mpc exactly)
+            # realized relative improvement this round; the ftol stall
+            # criterion takes the MIN over the stage's rounds (matches
+            # planning.se3_mpc.solve_se3_mpc exactly)
             imp = jnp.concatenate(
                 [
                     (cc - bc) / (1.0 + jnp.abs(bc))
@@ -548,13 +608,25 @@ def _solver_kernel(
                 ],
                 axis=0,
             )  # (G, B)
-            return best_u, imp
+            return best_u, jnp.minimum(min_imp, imp)
 
         u0k = u_ref[:]
         imp0 = jnp.full((G, u0k.shape[1]), jnp.inf, u0k.dtype)
-        u, imp = jax.lax.fori_loop(
-            0, config.max_iterations, newton_body, (u0k, imp0)
+        warmup = (
+            min(config.gn_warmup_iterations, config.max_iterations)
+            if config.newton_full_curvature
+            else config.max_iterations
         )
+        u, imp = jax.lax.fori_loop(
+            0, warmup, make_newton_body(False), (u0k, imp0)
+        )
+        rest = config.max_iterations - warmup
+        if config.newton_full_curvature and rest > 0:
+            # stage 2: full-curvature Newton from the GN basin; the
+            # stall tracker restarts (stage-2 directions differ)
+            u, imp = jax.lax.fori_loop(
+                0, rest, make_newton_body(True), (u, imp0)
+            )
         out_ref[:] = u
         imp_ref[:] = jnp.pad(imp, ((0, imp_ref.shape[0] - G), (0, 0)))
 
@@ -597,8 +669,8 @@ def solve_thrusts_fused(
     fast_cg: bool = True,
     groups: int = 1,
 ) -> Array:
-    """Run the fused solve; returns ``(thrusts, last_improvement)`` where
-    thrusts has ``u_init``'s shape and last_improvement (batch-shaped) is
+    """Run the fused solve; returns ``(thrusts, min_improvement)`` where
+    thrusts has ``u_init``'s shape and min_improvement (batch-shaped) is
     the final Newton round's realized relative cost decrease (the ftol
     convergence-criterion input, matching the XLA path).
 

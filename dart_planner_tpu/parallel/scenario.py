@@ -129,7 +129,7 @@ def solve_fleet(
             se3_mpc.SolveResult(
                 thrusts=spec, positions=spec, velocities=spec,
                 accelerations=spec, cost=spec, converged=spec, grad_norm=spec,
-                last_improvement=spec,
+                min_improvement=spec,
             ),
             FleetStats(total=P(), converged=P(), mean_cost=P(),
                        max_grad_norm=P()),

@@ -87,12 +87,17 @@ class SE3MPCConfig(NamedTuple):
     # Projected-line-search step candidates (largest first; the current
     # iterate is always an implicit fallback candidate).
     line_search_alphas: tuple = (1.0, 0.5, 0.25, 0.1, 0.03, 0.01)
-    # Use full hinge Hessians (h * hess(h) terms) instead of Gauss-Newton
-    # outer products in the Newton system. The obstacle hinge's negative
-    # tangential curvature is what lets Newton slide around a sphere in
-    # one step instead of crawling; guarded by Steihaug CG truncation +
-    # clamped Jacobi diagonal (costs.penalty_blocks docstring).
-    newton_full_curvature: bool = False
+    # Two-stage Newton: after ``gn_warmup_iterations`` Gauss-Newton
+    # rounds, switch to full hinge Hessians (h * hess(h) terms). The
+    # obstacle hinge's negative tangential curvature is what lets Newton
+    # slide around a sphere in one step instead of crawling; guarded by
+    # Steihaug CG truncation + clamped Jacobi diagonal
+    # (costs.penalty_blocks docstring). Full curvature from a COLD start
+    # can leave the right basin (measured max cost-vs-ground-truth 17.8x,
+    # scripts/diag_fixes.py); staged after a GN warmup it keeps GN's
+    # basin and cuts p95 cost excess ~10x at equal iteration budget.
+    newton_full_curvature: bool = True
+    gn_warmup_iterations: int = 6
 
     ground_weight: float = 50000.0  # ground-clearance hinge (novel vs reference)
     min_altitude: float = 0.3  # m
@@ -155,7 +160,7 @@ class SolveResult(NamedTuple):
     grad_norm: Array  # (...) projected-gradient norm (diagnostic)
     # realized relative cost decrease in the final Newton round (what the
     # ftol convergence criterion evaluates); None on legacy paths
-    last_improvement: Optional[Array] = None
+    min_improvement: Optional[Array] = None
 
 
 def make_problem(
@@ -281,8 +286,18 @@ def solve_se3_mpc(
     lb_full = jnp.broadcast_to(lb, (N, 3))
     ub_full = jnp.broadcast_to(ub, (N, 3))
 
-    def body(_, carry):
-        u, _prev_imp = carry
+    def make_body(full_curv: bool):
+        """One Newton round. ``full_curv=False`` = Gauss-Newton (convex
+        model, globally stable — finds the right basin); ``True`` = full
+        hinge Hessians with Steihaug-truncated CG (captures the obstacle
+        hinge's negative tangential curvature — converges the basin fast,
+        but from a cold start can jump to a worse one, measured max
+        cost-vs-ground-truth 17.8x on the bench batch; staged GN->full it
+        never leaves the GN basin, scripts/diag_fixes.py)."""
+        return functools.partial(_newton_round, full_curv)
+
+    def _newton_round(full_curv, _, carry):
+        u, min_imp = carry
         g = grad_fn(u)
         # Active set: at a bound with the gradient pushing outward.
         eps = 1e-6
@@ -299,7 +314,7 @@ def solve_se3_mpc(
             Hp, Hv, Hu = costs.penalty_blocks(
                 u, prob, w, dt, mass, gvec,
                 include_obstacles=use_obstacles,
-                full_curvature=config.newton_full_curvature,
+                full_curvature=full_curv,
             )
         else:
             Hp = Hv = Hu = None
@@ -331,7 +346,7 @@ def solve_se3_mpc(
             diag = diag + jnp.einsum("ki,...ka->...ia", Sv * Sv, Hv, precision=hi)
         if Hu is not None:
             diag = diag + jnp.diagonal(Hu, axis1=-2, axis2=-1)
-        if config.newton_full_curvature:
+        if full_curv:
             # the full obstacle Hessian can drive diagonal entries
             # negative; clamp the Jacobi preconditioner to a fraction of
             # the (always-positive) quadratic diagonal
@@ -368,7 +383,7 @@ def solve_se3_mpc(
         d, *_ = jax.lax.fori_loop(
             0, config.cg_iterations, cg_body, (d0, r0, z0, z0, rz0, alive0)
         )
-        if config.newton_full_curvature:
+        if full_curv:
             # negative curvature on the very first CG step leaves d = 0;
             # fall back to the preconditioned steepest-descent direction
             # (standard Steihaug behaviour)
@@ -396,33 +411,54 @@ def solve_se3_mpc(
             best.reshape((1,) + batch + (1,)),
             axis=0,
         )[0].reshape(batch + (N, 3))
-        # realized relative improvement this round (ftol criterion input);
-        # cast keeps the carry dtype stable when x64 promotes the cost
+        # realized relative improvement this round; the ftol stall
+        # criterion takes the MIN over the stage's rounds (scipy
+        # L-BFGS-B stops at the FIRST round whose progress <= ftol — a
+        # fixed-iteration solver must remember that the stall happened).
+        # Cast keeps the carry dtype stable when x64 promotes the cost.
         improvement = (
             (cur_cost - best_cost) / (1.0 + jnp.abs(best_cost))
         ).astype(dtype)
-        return u_next, improvement
+        return u_next, jnp.minimum(min_imp, improvement)
 
     imp0 = jnp.full(batch, jnp.inf, dtype)
-    u, last_improvement = jax.lax.fori_loop(
-        0, config.max_iterations, body, (u, imp0)
+    warmup = (
+        min(config.gn_warmup_iterations, config.max_iterations)
+        if config.newton_full_curvature
+        else config.max_iterations
     )
-    return _finalize(config, prob, u, last_improvement)
+    u, min_improvement = jax.lax.fori_loop(
+        0, warmup, make_body(False), (u, imp0)
+    )
+    rest = config.max_iterations - warmup
+    if config.newton_full_curvature and rest > 0:
+        # stage 2: full-curvature Newton from the GN basin. The stall
+        # tracker restarts — stage-2 directions differ, so a GN stall
+        # does not imply a stage-2 fixed point.
+        u, min_improvement = jax.lax.fori_loop(
+            0, rest, make_body(True), (u, imp0)
+        )
+    return _finalize(config, prob, u, min_improvement)
 
 
 def _finalize(
     config: SE3MPCConfig,
     prob: costs.Problem,
     u: Array,
-    last_improvement: Optional[Array] = None,
+    min_improvement: Optional[Array] = None,
 ) -> SolveResult:
     """Diagnostics + dynamics-consistent rollout for a final thrust iterate
     (shared by the XLA and fused-Pallas solver paths).
 
-    Convergence criterion (``SolveResult.converged``): realized relative
-    cost decrease in the final Newton round <= ``config.ftol`` — scipy
-    L-BFGS-B's ftol semantics, the rule the reference solver terminates
-    on in practice (se3_mpc_planner.py:256-268 sets ftol=10*tol). The
+    Convergence criterion (``SolveResult.converged``): the MINIMUM
+    realized relative cost decrease over the final Newton stage's rounds
+    <= ``config.ftol`` — scipy L-BFGS-B's ftol semantics, the rule the
+    reference solver terminates on in practice (se3_mpc_planner.py:
+    256-268). scipy stops at the FIRST round whose progress drops below
+    ftol; a fixed-iteration batched solver must remember that the stall
+    happened, so the stage minimum (not the last round) is the faithful
+    translation. The tracker restarts at the full-curvature stage switch
+    (a GN stall is not a stage-2 fixed point). The
     projected-gradient norm is NOT used as the gate: near active hinge
     boundaries it stays O(hinge weight) at stationary points, and the
     diag-preconditioned Newton decrement overestimates achievable
@@ -432,7 +468,7 @@ def _finalize(
     optimum). Honesty of the ftol gate, measured on the bench batch:
     scenarios it declares converged sit within ~2e-6 of the 60-iteration
     ground-truth cost at p95. ``grad_norm`` remains in the result as a
-    diagnostic. When ``last_improvement`` is unavailable (direct legacy
+    diagnostic. When ``min_improvement`` is unavailable (direct legacy
     calls), the old gradient-norm rule is used as a fallback.
     """
     N = config.prediction_horizon
@@ -449,8 +485,8 @@ def _finalize(
     g = costs.condensed_grad(u, prob, w, config.dt, config.mass, gvec)
     pg = jnp.clip(u - g, lb_full, ub_full) - u
     grad_norm = jnp.linalg.norm(pg.reshape(batch + (n_flat,)), axis=-1)
-    if last_improvement is not None:
-        converged = last_improvement <= config.ftol
+    if min_improvement is not None:
+        converged = min_improvement <= config.ftol
     else:  # legacy fallback: raw projected-gradient criterion
         converged = grad_norm < config.convergence_tolerance * n_flat
 
@@ -465,7 +501,7 @@ def _finalize(
         cost=costs.condensed_cost(u, prob, w, config.dt, config.mass, gvec),
         converged=converged,
         grad_norm=grad_norm,
-        last_improvement=last_improvement,
+        min_improvement=min_improvement,
     )
 
 
@@ -493,7 +529,7 @@ def solve(
 
     if u_init is None:
         u_init = initialize_thrusts(config, prob)
-    u, last_improvement = pallas_mpc.solve_thrusts_fused(
+    u, min_improvement = pallas_mpc.solve_thrusts_fused(
         config,
         prob,
         u_init,
@@ -501,7 +537,7 @@ def solve(
         block_b=block_b,
         interpret=jax.default_backend() != "tpu",
     )
-    return _finalize(config, prob, u, last_improvement)
+    return _finalize(config, prob, u, min_improvement)
 
 
 def extract_trajectory(
