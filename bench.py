@@ -25,7 +25,15 @@ def _fetch(x):
 
 
 def main():
+    import os
+
     import jax
+
+    # persistent compile cache shared with scripts/tpu_smoke.py — the
+    # full-config fused kernel takes minutes to compile cold
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from dart_planner_tpu.planning import se3_mpc
 
@@ -177,6 +185,23 @@ def main():
     mc_rmse = float(jnp.mean(res.tracking_rmse))
     mc_clear = float(jnp.mean(res.min_obstacle_clearance))
 
+    # --- enforced latency gates (reference CI thresholds,
+    # /root/reference/tests/test_real_time_latency.py:109-120). The
+    # tunnel-corrected numbers are gated — they are what a locally
+    # attached chip would see; the raw figures ride a 25-55 ms dev
+    # tunnel and are reported, not gated. A violation still prints the
+    # JSON line, then fails the run loudly. ---
+    gates = {
+        "planning_host_p95_ms": (rt["planning_host_p95_ms"], 50.0),
+        "control_tick_p95_ms": (rt["control_tick_p95_ms"], 5.0),
+        "planner_to_actuator_p95_ms": (
+            rt["planner_to_actuator_p95_ms"], 50.0
+        ),
+    }
+    gate_failures = [
+        f"{k}={v:.3f} >= {lim}" for k, (v, lim) in gates.items() if v >= lim
+    ]
+
     print(
         json.dumps(
             {
@@ -203,9 +228,16 @@ def main():
                 "batch_step_ms": round(per_call * 1e3, 3),
                 "tunnel_rtt_ms": round(rtt * 1e3, 2),
                 "device": str(jax.devices()[0].platform),
+                "latency_gate_ok": not gate_failures,
             }
         )
     )
+    if gate_failures:
+        import sys
+
+        print("LATENCY GATE FAILED: " + "; ".join(gate_failures),
+              file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

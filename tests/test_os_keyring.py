@@ -1,0 +1,87 @@
+"""OS-keyring adapter (security/os_keyring.py) on the file fallback.
+
+The ``keyring`` package is absent from this image, so these tests
+exercise the owner-only file backend — the same code path an air-gapped
+deployment uses. Reference analog:
+/root/reference/src/dart_planner/security/os_keyring.py:62-287.
+"""
+
+import os
+import stat
+
+import pytest
+
+from dart_planner_tpu.common.errors import SecurityError
+from dart_planner_tpu.security import os_keyring
+
+
+@pytest.fixture
+def mgr(tmp_path):
+    return os_keyring.OSKeyringManager(
+        fallback_path=str(tmp_path / "ring.json"), prefer_os_keyring=False
+    )
+
+
+def test_store_retrieve_roundtrip(mgr):
+    kid = mgr.store_key(b"\x00\x01secret", os_keyring.KeyType.HMAC)
+    assert mgr.retrieve_key(kid, os_keyring.KeyType.HMAC) == b"\x00\x01secret"
+    # wrong type namespace -> miss
+    assert mgr.retrieve_key(kid, os_keyring.KeyType.JWT) is None
+
+
+def test_empty_key_rejected(mgr):
+    with pytest.raises(SecurityError):
+        mgr.store_key(b"", os_keyring.KeyType.KEK)
+
+
+def test_usage_count_and_metadata(mgr):
+    kid = mgr.store_key(b"k", os_keyring.KeyType.API, rotation_policy="30d")
+    mgr.retrieve_key(kid, os_keyring.KeyType.API)
+    mgr.retrieve_key(kid, os_keyring.KeyType.API)
+    meta = mgr.list_keys(os_keyring.KeyType.API)[kid]
+    assert meta.usage_count == 2
+    assert meta.rotation_policy == "30d"
+    assert meta.key_type == os_keyring.KeyType.API
+
+
+def test_expiry(mgr):
+    import time
+
+    kid = mgr.store_key(
+        b"short-lived", os_keyring.KeyType.DEK, expires_at=time.time() - 1
+    )
+    assert mgr.retrieve_key(kid, os_keyring.KeyType.DEK) is None
+
+
+def test_delete_and_list(mgr):
+    k1 = mgr.store_key(b"a", os_keyring.KeyType.JWT)
+    k2 = mgr.store_key(b"b", os_keyring.KeyType.JWT)
+    assert set(mgr.list_keys(os_keyring.KeyType.JWT)) == {k1, k2}
+    assert mgr.delete_key(k1, os_keyring.KeyType.JWT)
+    assert not mgr.delete_key(k1, os_keyring.KeyType.JWT)  # already gone
+    assert set(mgr.list_keys(os_keyring.KeyType.JWT)) == {k2}
+
+
+def test_rotate_key(mgr):
+    kid = mgr.store_key(b"old", os_keyring.KeyType.KEK)
+    new_id = mgr.rotate_key(kid, os_keyring.KeyType.KEK, b"new")
+    assert new_id != kid
+    assert mgr.retrieve_key(kid, os_keyring.KeyType.KEK) is None
+    assert mgr.retrieve_key(new_id, os_keyring.KeyType.KEK) == b"new"
+    with pytest.raises(SecurityError):
+        mgr.rotate_key("nope", os_keyring.KeyType.KEK, b"x")
+
+
+def test_validate_key_access(mgr):
+    assert mgr.validate_key_access()
+    assert mgr.list_keys("probe") == {}  # probe cleaned up
+
+
+def test_fallback_file_is_owner_only(mgr, tmp_path):
+    mgr.store_key(b"k", os_keyring.KeyType.HMAC)
+    mode = stat.S_IMODE(os.stat(tmp_path / "ring.json").st_mode)
+    assert mode == 0o600
+
+
+def test_backend_reports_file_when_keyring_absent(mgr):
+    assert mgr.backend_name == "file"
