@@ -546,14 +546,20 @@ def _solver_kernel(
             d0 = jnp.zeros_like(b)
 
             def cg_body(_, carry):
+                # NOTE: every carried value is f32 — Mosaic on this
+                # toolchain fails to legalize `scf.for` with i1 vector
+                # loop-carries (round-2 regression: a bool `alive` here
+                # produced `vector<8x128xi1>` carries and broke TPU
+                # compile). `alive` is a 0/1 f32 row, masked
+                # arithmetically like `free`/`omask`.
                 d, r, z, p, rz, alive = carry
                 ap = matvec(p)
                 pap = jnp.concatenate(gsum(p * ap), axis=0)
                 # Steihaug truncation (full-curvature stage): on negative
                 # curvature, freeze this scenario's direction at the
                 # current partial sum — matches solve_se3_mpc exactly
-                alive = alive & (pap > 1e-12)
-                ok = alive.astype(d.dtype)
+                alive = alive * (pap > 1e-12).astype(d.dtype)
+                ok = alive
                 alpha = ok * rz / jnp.maximum(pap, 1e-12)  # (G, B)
                 alpha_rows = gexpand([alpha[g : g + 1] for g in range(G)])
                 d = d + alpha_rows * p
@@ -564,10 +570,10 @@ def _solver_kernel(
                 beta_rows = gexpand([beta[g : g + 1] for g in range(G)])
                 ok_rows = gexpand([ok[g : g + 1] for g in range(G)])
                 p = z * ok_rows + beta_rows * p + (1.0 - ok_rows) * p
-                rz = jnp.where(alive, rz_new, rz)
+                rz = ok * rz_new + (1.0 - ok) * rz
                 return d, r, z, p, rz, alive
 
-            alive0 = jnp.ones(rz0.shape, bool)
+            alive0 = jnp.ones(rz0.shape, u.dtype)
             d, *_ = jax.lax.fori_loop(
                 0, config.cg_iterations, cg_body,
                 (d0, r0, z0, z0, rz0, alive0),
