@@ -141,8 +141,18 @@ def _solver_kernel(
     KP: int,
     G: int,
     fast_cg: bool = True,
+    K_real: int | None = None,
 ):
-    """Build the kernel body (all config scalars close over as constants)."""
+    """Build the kernel body (all config scalars close over as constants).
+
+    ``KP`` is the sublane-aligned obstacle STORAGE stride (multiple of 8);
+    ``K_real`` is how many of those rows hold live spheres. The obstacle
+    loops run ``K_real`` iterations — the padding rows carry mask 0 and
+    contribute nothing, so skipping them is exact, and at the common
+    K=4 it halves the kernel's dominant VPU work (the per-candidate
+    obstacle distance/hinge evaluation in every cost/gradient pass)."""
+    if K_real is None:
+        K_real = KP
     N = config.prediction_horizon
     w = config.weights
     inv_m = 1.0 / config.mass
@@ -278,7 +288,7 @@ def _solver_kernel(
                 J = jnp.zeros((1, B), pos.dtype)
                 gx = gy = gz = 0.0
                 hxx = hyy = hzz = hxy = hxz = hyz = 0.0
-                for o in range(KP):
+                for o in range(K_real):
                     base = g * 4 * KP
                     cx = obs[base + o : base + o + 1]
                     cy = obs[base + KP + o : base + KP + o + 1]
@@ -483,8 +493,16 @@ def _solver_kernel(
             if full_curv:
                 # the full obstacle Hessian can drive diagonal entries
                 # negative; clamp the Jacobi preconditioner to a fraction
-                # of the (always-positive) quadratic diagonal
-                minv = free / jnp.maximum(diag, 0.1 * diag_quad)
+                # of the quadratic diagonal. The absolute 1e-8 floor is
+                # load-bearing: on the NP1 PADDING rows diag == diag_quad
+                # == 0, and without it minv = 1/0 = inf there, z0 = inf*0
+                # = NaN, and one NaN in the CG sums silently freezes the
+                # whole full-curvature stage (every line-search comparison
+                # goes false) — only at horizons where 3N % 8 != 0, which
+                # is why N=8 interpreter tests never caught it.
+                minv = free / jnp.maximum(
+                    jnp.maximum(diag, 0.1 * diag_quad), 1e-8
+                )
             else:
                 minv = free / jnp.maximum(diag, 1e-8)
 
@@ -770,7 +788,9 @@ def solve_thrusts_fused(
         + [const_spec((NP2, 1))] * len(vecs)
     )
 
-    kernel = _solver_kernel(config, use_obstacles, NP1, KP, G, fast_cg=fast_cg)
+    kernel = _solver_kernel(
+        config, use_obstacles, NP1, KP, G, fast_cg=fast_cg, K_real=K
+    )
     IR = _round_up(G, 8)  # improvement rows, sublane-aligned
     u_out, imp_out = pl.pallas_call(
         kernel,

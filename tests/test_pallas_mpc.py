@@ -179,3 +179,33 @@ def test_block_padding_paths(rng):
     np.testing.assert_allclose(
         np.asarray(r5.thrusts)[:4], np.asarray(r4.thrusts), atol=1e-4
     )
+
+
+def test_full_curvature_stage_with_padding_rows(rng):
+    """Stage-2 (full-curvature Newton) parity at a horizon whose 3N is
+    NOT a multiple of 8 (N=12 -> 4 padding rows in the kernel layout).
+
+    Regression guard: the stage-2 Jacobi clamp had no absolute floor, so
+    padding rows (diag == diag_quad == 0) produced minv = inf and one
+    NaN silently froze the whole stage — every line-search comparison
+    went false, min_improvement reported 0 (= "converged"), and the
+    fused path quietly returned stage-1-quality iterates. N=8 tests
+    (3N=24, no padding) could never catch it."""
+    config = se3_mpc.SE3MPCConfig(
+        prediction_horizon=12, max_iterations=10,
+        gn_warmup_iterations=4, cg_iterations=10,
+    )
+    assert (3 * config.prediction_horizon) % 8 != 0  # padding rows exist
+    assert config.newton_full_curvature  # stage 2 actually runs
+    prob = _problem(rng, 8, config)
+    u0 = se3_mpc.initialize_thrusts(config, prob)
+    rx = se3_mpc.solve(config, prob, u0, method="xla")
+    rf = se3_mpc.solve(config, prob, u0, method="fused", block_b=8)
+    np.testing.assert_allclose(
+        np.asarray(rf.cost), np.asarray(rx.cost), rtol=1e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rf.converged), np.asarray(rx.converged)
+    )
+    # pre-fix signature: fused cost sat ~4e-2 above XLA (stage-1-quality
+    # iterates), which the rtol=1e-4 cost parity above fails loudly
