@@ -605,13 +605,27 @@ def _solver_kernel(
             d = d * free
 
             # projected line search (current iterate is the fallback;
-            # strict-improvement update == argmin with earliest-tie rule)
+            # strict-improvement update == argmin with earliest-tie rule).
+            # Candidate rollouts are DELTA-form: pos_a = pos + Spm3(cand-u)
+            # — in exact arithmetic identical to C_pos + Spm3*cand (the
+            # map is affine), but the matmul acts on the small step delta,
+            # so it can run at bf16 matmul precision (mmc): the ~0.4%
+            # relative error applies to the *step's* position contribution,
+            # not the absolute position — cost error ~1e-5 relative,
+            # flipping only true near-ties (the existing XLA-vs-fused
+            # contract). Measured: the line search was bound by its
+            # HIGHEST-precision rollout matmuls (6 MXU passes each); this
+            # makes them single-pass (docs/kernel.md table).
             cur_cost = cost_terms(pos, vel, acc, u)  # list of G (1, B)
             best_cost = list(cur_cost)
             best_u = u
             for alpha in config.line_search_alphas:
                 cand = jnp.clip(u + alpha * d, lb, ub)
-                cJ = cost_terms(*rollout(cand), cand)
+                du_c = cand - u
+                pos_c = pos + mmc(Spm3, du_c)
+                vel_c = vel + mmc(Svm3, du_c)
+                acc_c = cand * inv_m + g_rep
+                cJ = cost_terms(pos_c, vel_c, acc_c, cand)
                 better = [cj < bc for cj, bc in zip(cJ, best_cost)]
                 best_cost = [
                     jnp.where(bt, cj, bc)
