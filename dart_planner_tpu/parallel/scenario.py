@@ -74,7 +74,9 @@ def shard_scenarios(prob: costs.Problem, mesh: Mesh) -> costs.Problem:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("config", "mesh", "use_obstacles", "method")
+    jax.jit,
+    static_argnames=("config", "mesh", "use_obstacles", "method",
+                     "with_stats"),
 )
 def solve_fleet(
     config: se3_mpc.SE3MPCConfig,
@@ -83,7 +85,8 @@ def solve_fleet(
     u_init: Optional[Array] = None,
     use_obstacles: bool = True,
     method: str = "auto",
-) -> tuple[se3_mpc.SolveResult, FleetStats]:
+    with_stats: bool = True,
+) -> tuple[se3_mpc.SolveResult, Optional[FleetStats]]:
     """Solve a sharded scenario fleet and reduce fleet statistics.
 
     ``prob`` must have one leading batch axis divisible by the mesh size.
@@ -92,6 +95,14 @@ def solve_fleet(
     every host sees global numbers without a host-side gather. ``method``
     picks the per-shard solver (``"fused"`` Pallas kernel on TPU, ``"xla"``
     elsewhere under ``"auto"`` — see :func:`se3_mpc.solve`).
+
+    ``with_stats=False`` returns ``(result, None)`` and emits NO
+    collectives at all: back-to-back fleet calls (warm-started MPC
+    rounds) then run with zero cross-host synchronization, which is the
+    production cadence — reduce stats once per reporting interval, not
+    once per solve. On an oversubscribed test fabric (loopback gRPC
+    sharing the compute cores) the per-call psum alone costs tens of
+    percent of weak-scaling efficiency; see docs/scaling.md.
     """
     if u_init is None:
         u_init = se3_mpc.initialize_thrusts(config, prob)
@@ -102,6 +113,8 @@ def solve_fleet(
         res = se3_mpc.solve(
             config, prob_l, u0_l, use_obstacles=use_obstacles, method=method
         )
+        if not with_stats:
+            return res, None
         n = jnp.asarray(res.cost.shape[0], jnp.float32)
         stats = FleetStats(
             total=jax.lax.psum(n, BATCH_AXES),
@@ -131,11 +144,14 @@ def solve_fleet(
                 accelerations=spec, cost=spec, converged=spec, grad_norm=spec,
                 min_improvement=spec,
             ),
-            FleetStats(total=P(), converged=P(), mean_cost=P(),
-                       max_grad_norm=P()),
+            None
+            if not with_stats
+            else FleetStats(total=P(), converged=P(), mean_cost=P(),
+                            max_grad_norm=P()),
         ),
     )(prob, u_init)
-    stats = stats._replace(mean_cost=stats.mean_cost / stats.total)
+    if with_stats:
+        stats = stats._replace(mean_cost=stats.mean_cost / stats.total)
     return res, stats
 
 

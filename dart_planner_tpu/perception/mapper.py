@@ -209,7 +209,10 @@ def local_occupancy_grid(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("config", "max_obstacles", "size_cells")
+    jax.jit,
+    static_argnames=(
+        "config", "max_obstacles", "size_cells", "suppression_radius"
+    ),
 )
 def extract_obstacles(
     config: MapperConfig,
@@ -218,15 +221,26 @@ def extract_obstacles(
     max_obstacles: int = 8,
     threshold: float = 0.6,
     size_cells: int = 32,
+    suppression_radius: float = 0.0,
+    toward: Optional[Array] = None,
 ) -> tuple[Array, Array]:
-    """Nearest-K occupied voxels as padded sphere obstacles (K, 4) + mask.
+    """Occupied voxels as padded sphere obstacles (K, 4) + mask.
 
     TPU-native equivalent of ``_refresh_se3_obstacles_from_mapper``
     (cloud/main_improved_threelayer.py:381-398): local grid -> threshold
-    0.6 -> nearest K to the query center, each a sphere of radius
-    ``resolution`` (the reference uses 0.6*resolution per voxel; we keep a
-    full voxel radius to bound the cell).
-    """
+    0.6 -> K best voxels, each a sphere of radius ``resolution`` (the
+    reference uses 0.6*resolution per voxel; we keep a full voxel radius
+    to bound the cell).
+
+    Selection: by default the nearest K to ``center`` (reference
+    behavior). With ``toward`` set, voxels are ranked by distance to the
+    SEGMENT center->toward — the corridor the vehicle will actually fly.
+    ``suppression_radius`` > 0 switches to greedy non-maximum
+    suppression: after each pick, voxels within that radius are excluded,
+    so the K slots spread across distinct obstacle blobs instead of all
+    landing on the nearest one (the reference gets a cruder version of
+    this from its grid downsampling; a plain nearest-K starves every
+    blob but the closest and the planner never sees the others)."""
     occ, corner = local_occupancy_grid(config, vmap_state, center, size_cells)
     s = size_cells
     ii = jax.lax.broadcasted_iota(jnp.int32, (s, s, s), 0)
@@ -236,11 +250,38 @@ def extract_obstacles(
         jnp.stack([ii, jj, kk], axis=-1).astype(occ.dtype) + 0.5
     ) * config.resolution + corner
     occupied = occ > threshold
-    d2 = jnp.sum((centers - center) ** 2, axis=-1)
-    score = jnp.where(occupied, -d2, -jnp.inf).reshape(-1)
-    top, flat_idx = jax.lax.top_k(score, max_obstacles)
+    if toward is None:
+        d2 = jnp.sum((centers - center) ** 2, axis=-1)
+    else:
+        seg = jnp.asarray(toward, centers.dtype) - center
+        t = jnp.clip(
+            jnp.sum((centers - center) * seg, axis=-1)
+            / jnp.maximum(jnp.sum(seg * seg), 1e-9),
+            0.0,
+            1.0,
+        )
+        nearest = center + t[..., None] * seg
+        d2 = jnp.sum((centers - nearest) ** 2, axis=-1)
+    score0 = jnp.where(occupied, -d2, -jnp.inf).reshape(-1)
+    flat_centers = centers.reshape(-1, 3)
+    if suppression_radius > 0.0:
+        r2 = suppression_radius * suppression_radius
+
+        def pick(score, _):
+            idx = jnp.argmax(score)
+            best = score[idx]
+            c = flat_centers[idx]
+            near = jnp.sum((flat_centers - c) ** 2, axis=-1) <= r2
+            score = jnp.where(near, -jnp.inf, score)
+            return score, (best, idx)
+
+        _, (top, flat_idx) = jax.lax.scan(
+            pick, score0, None, length=max_obstacles
+        )
+    else:
+        top, flat_idx = jax.lax.top_k(score0, max_obstacles)
     mask = jnp.isfinite(top)
-    obs_centers = centers.reshape(-1, 3)[flat_idx]
+    obs_centers = flat_centers[flat_idx]
     radii = jnp.full((max_obstacles, 1), config.resolution, occ.dtype)
     obstacles = jnp.concatenate([obs_centers, radii], axis=-1)
     return jnp.where(mask[:, None], obstacles, 0.0), mask

@@ -44,9 +44,22 @@ class WorldConfig(NamedTuple):
     mapper: gm.MapperConfig = gm.MapperConfig(
         resolution=0.5, grid_size=(64, 64, 32), origin=(-16.0, -16.0, -4.0)
     )
-    scan_points: int = 3  # lidar scans along the corridor
-    scan_z_band: float = 0.8  # m, vertical band the scan planes cover
+    # Scan geometry: 5 poses over 90% of the corridor, staggered across a
+    # 1.2 m vertical band. Measured blind-spot rates (1024 worlds, CPU):
+    # 3 scans/0.6 span/0.8 band + nearest-K extraction leaves 52% of
+    # worlds with >=1 completely unperceived sphere; this geometry + the
+    # suppression extractor below cuts that to 30% (sphere-level coverage
+    # 0.78 -> 0.88). The rest are genuine horizontal-lidar blind spots —
+    # the realism the Monte-Carlo is supposed to keep.
+    scan_points: int = 5  # lidar scans along the corridor
+    scan_span: float = 0.9  # fraction of the corridor the scan walk covers
+    scan_z_band: float = 1.2  # m, vertical band the scan planes cover
     num_rays: int = 360
+    # spread the K perceived spheres across distinct blobs (greedy NMS in
+    # mapper.extract_obstacles) and rank voxels by distance to the
+    # start->goal corridor, not its midpoint. 0.0 = reference-style
+    # nearest-K (which starves every blob but the closest)
+    suppression_radius: float = 1.0
     perceive_chunk: int = 256  # episodes per lax.map chunk
 
 
@@ -125,7 +138,7 @@ def _perceive_one(
     vm = gm.create_map(mc, dtype=true_obs.dtype)
     for i in range(config.scan_points):
         u = i / max(config.scan_points - 1, 1)
-        frac = u * 0.6  # 0 .. 0.6 of the line
+        frac = u * config.scan_span  # 0 .. scan_span of the line
         pos = start + frac * (goal - start)
         # the lidar is horizontal: stagger the sensor plane across the
         # z-jitter band so vertically offset spheres are still cut
@@ -134,8 +147,10 @@ def _perceive_one(
             mc, pos, true_obs, true_mask, num_rays=config.num_rays
         )
         vm = gm.update_with_scan(mc, vm, o, dirs, hd)
-    mid = 0.5 * (start + goal)
-    return gm.extract_obstacles(mc, vm, mid, max_obstacles=max_obstacles)
+    return gm.extract_obstacles(
+        mc, vm, start, max_obstacles=max_obstacles,
+        suppression_radius=config.suppression_radius, toward=goal,
+    )
 
 
 def perceive_worlds(
