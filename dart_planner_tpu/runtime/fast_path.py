@@ -78,8 +78,13 @@ class PlannerFastPath:
 
         self._step = jax.jit(step, donate_argnums=(1,))
         self._u: Optional[Array] = None
-        # tiny persistent device scalar for bare-fetch RTT sampling
+        # tiny persistent device scalar for bare-fetch RTT sampling.
+        # It must CHANGE between samples: jax caches fetched buffers on
+        # the host, so re-fetching an unchanged array costs ~40 us and
+        # silently turns the tunnel correction into a no-op (raw ==
+        # corrected, observed in BENCH r3 first run).
         self._probe = jnp.zeros(())
+        self._bump = jax.jit(lambda x: x + 1.0)
 
     def reset(self) -> None:
         self._u = None
@@ -104,6 +109,7 @@ class PlannerFastPath:
 
     def sample_rtt(self) -> float:
         """Bare device→host fetch round trip (s) on the current link."""
+        self._probe = self._bump(self._probe)  # invalidate the host cache
         t0 = time.perf_counter()
         float(np.asarray(self._probe))
         return time.perf_counter() - t0
