@@ -138,7 +138,8 @@ def main():
     from dart_planner_tpu.sim import ClosedLoopConfig, WorldConfig
 
     mc_cfg = ClosedLoopConfig(
-        wind_mean=1.0, wind_std=0.5, sensor_noise_std=0.02
+        wind_mean=1.0, wind_std=0.5, sensor_noise_std=0.02,
+        sense_radius=3.0,  # in-flight proximity sensing (10 Hz refresh)
     )
     wc = WorldConfig()
     mc_n = 2048

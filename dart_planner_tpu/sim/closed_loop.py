@@ -47,6 +47,14 @@ class ClosedLoopConfig(NamedTuple):
     wind_mean: float = 0.0
     wind_std: float = 0.0
     min_altitude: float = 0.05  # below this = crash
+    # in-flight proximity sensing: at every replan, TRUE spheres whose
+    # surface is within this range of the vehicle join the planner's
+    # obstacle set (dynamic mask over a static concat — jit-friendly).
+    # Models the reference's continuous 10 Hz mapper refresh during
+    # flight (cloud/main_improved_threelayer.py:206-209) / a short-range
+    # depth sensor; the pre-episode scans model the long-range survey.
+    # 0.0 disables (pre-episode perception only).
+    sense_radius: float = 0.0
 
 
 class EpisodeResult(NamedTuple):
@@ -118,6 +126,31 @@ def simulate_episode(
         jnp.where(obstacle_mask, mpc.safety_margin, 0.0)
     )
 
+    # in-flight proximity sensing: the planner's obstacle array is the
+    # STATIC concat [perceived | true]; the true part's mask is computed
+    # per replan from the vehicle's current distance (dynamic values,
+    # fixed shapes). A sphere once sensed stays planned-against only
+    # while in range — matching a live 10 Hz mapper refresh.
+    use_sensing = config.sense_radius > 0.0 and track_collisions
+    if use_sensing:
+        sensed_obs = true_obstacles.at[..., 3].add(
+            jnp.where(true_obstacle_mask, mpc.safety_margin, 0.0)
+        )
+        plan_obs = jnp.concatenate(
+            [
+                jnp.broadcast_to(
+                    obstacles, batch_shape + obstacles.shape[-2:]
+                ),
+                jnp.broadcast_to(
+                    sensed_obs, batch_shape + sensed_obs.shape[-2:]
+                ),
+            ],
+            axis=-2,
+        )
+        perceived_mask_b = jnp.broadcast_to(
+            obstacle_mask, batch_shape + obstacle_mask.shape[-1:]
+        )
+
     k_wind, k_noise = jax.random.split(key)
     wind = phys.sample_wind(
         k_wind, batch_shape, config.wind_mean, config.wind_std, dtype
@@ -141,13 +174,27 @@ def simulate_episode(
         noise = config.sensor_noise_std * jax.random.normal(
             kb, batch_shape + (6,), dtype
         )
-        prob = costs.Problem(
-            p0=rb.position + noise[..., :3],
-            v0=rb.velocity + noise[..., 3:],
-            goal=goal,
-            obstacles=obstacles,
-            obstacle_mask=obstacle_mask,
-        )
+        if use_sensing:
+            gap = jnp.linalg.norm(
+                rb.position[..., None, :] - true_obstacles[..., :3], axis=-1
+            ) - true_obstacles[..., 3]
+            sensed = true_obstacle_mask & (gap <= config.sense_radius)
+            plan_mask = jnp.concatenate([perceived_mask_b, sensed], axis=-1)
+            prob = costs.Problem(
+                p0=rb.position + noise[..., :3],
+                v0=rb.velocity + noise[..., 3:],
+                goal=goal,
+                obstacles=plan_obs,
+                obstacle_mask=plan_mask,
+            )
+        else:
+            prob = costs.Problem(
+                p0=rb.position + noise[..., :3],
+                v0=rb.velocity + noise[..., 3:],
+                goal=goal,
+                obstacles=obstacles,
+                obstacle_mask=obstacle_mask,
+            )
         res = se3_mpc.solve(
             mpc, prob, se3_mpc.shift_warm_start(mpc, u_warm), method=method
         )

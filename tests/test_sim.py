@@ -254,3 +254,46 @@ def test_fused_tick_kernel_substeps_and_horizon_parity():
         np.asarray(r_scan.final_position),
         atol=1e-4,
     )
+
+
+def test_proximity_sensing_reveals_blind_obstacle():
+    """In-flight sensing (ClosedLoopConfig.sense_radius): a TRUE sphere
+    the pre-episode perception completely missed joins the planner's
+    obstacle set once the vehicle gets within range, and the flown path
+    keeps materially more surface clearance than the blind flight.
+    Models the reference's 10 Hz in-flight mapper refresh
+    (/root/reference/src/dart_planner/cloud/main_improved_threelayer.py:
+    206-209)."""
+    cfg = ClosedLoopConfig(
+        mpc=se3_mpc.SE3MPCConfig(prediction_horizon=8, max_iterations=6),
+        substeps_per_plan=40,
+        num_replans=30,
+        sense_radius=3.0,
+    )
+    B = 2
+    st = DroneState.create(
+        timestamp=jnp.zeros(B),
+        position=jnp.broadcast_to(jnp.asarray([0.0, 0.0, 3.0]), (B, 3)),
+        velocity=jnp.zeros((B, 3)),
+        attitude=jnp.zeros((B, 3)),
+        angular_velocity=jnp.zeros((B, 3)),
+    )
+    goals = jnp.broadcast_to(jnp.asarray([6.0, 0.0, 3.0]), (B, 3))
+    # perceived set EMPTY; one true sphere dead on the corridor
+    pobs = jnp.zeros((B, 2, 4), jnp.float32)
+    pmask = jnp.zeros((B, 2), bool)
+    tobs = jnp.broadcast_to(jnp.asarray([[3.0, 0.0, 3.0, 0.6]]), (B, 1, 4))
+    tmask = jnp.ones((B, 1), bool)
+    key = jax.random.PRNGKey(0)
+    kw = dict(obstacles=pobs, obstacle_mask=pmask, method="xla",
+              true_obstacles=tobs, true_obstacle_mask=tmask)
+    r_sense = simulate_episode(cfg, key, st, goals, **kw)
+    r_blind = simulate_episode(cfg._replace(sense_radius=0.0), key, st,
+                               goals, **kw)
+    clear_s = float(np.asarray(r_sense.min_obstacle_clearance)[0])
+    clear_b = float(np.asarray(r_blind.min_obstacle_clearance)[0])
+    assert not bool(np.asarray(r_sense.crashed)[0])
+    # sensed flight clears the sphere by a real margin; blind flight
+    # skims it (measured: 0.98 m vs 0.47 m)
+    assert clear_s > 0.75
+    assert clear_s > clear_b + 0.3
