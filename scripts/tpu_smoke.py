@@ -5,6 +5,11 @@ ops/pallas_rollout.py tick-block kernel) on the REAL chip at small
 shapes and checks basic solution sanity. Exits non-zero on any Mosaic
 legalization / layout / VMEM failure or on garbage outputs.
 
+Expected wall time on the tunneled dev chip: ~2 min with a warm
+persistent compile cache (~/.cache/jax_comp_cache), up to ~8 min cold —
+remote compiles ride the tunnel and the dev VM suspends inflate
+wall-clock numbers.
+
 Why this exists: the test suite runs the kernels in interpreter mode on
 a CPU mesh, which can never catch Mosaic legalization failures (round 2
 shipped a bool fori_loop carry that compiled fine interpreted but died
