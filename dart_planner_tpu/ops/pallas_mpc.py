@@ -573,10 +573,14 @@ def _solver_kernel(
                 d, r, z, p, rz, alive = carry
                 ap = matvec(p)
                 pap = jnp.concatenate(gsum(p * ap), axis=0)
-                # Steihaug truncation (full-curvature stage): on negative
-                # curvature, freeze this scenario's direction at the
-                # current partial sum — matches solve_se3_mpc exactly
-                alive = alive * (pap > 1e-12).astype(d.dtype)
+                # Steihaug truncation: on (near-)negative curvature,
+                # freeze this scenario's direction at the current partial
+                # sum — matches solve_se3_mpc exactly, including the
+                # SCALE-INVARIANT guard (pap above a Rayleigh-quotient
+                # floor of |p|^2): an absolute epsilon lets rounding-level
+                # positive pap through and alpha = rz/pap explodes.
+                pp = jnp.concatenate(gsum(p * p), axis=0)
+                alive = alive * (pap > 1e-8 * pp).astype(d.dtype)
                 ok = alive
                 alpha = ok * rz / jnp.maximum(pap, 1e-12)  # (G, B)
                 alpha_rows = gexpand([alpha[g : g + 1] for g in range(G)])

@@ -360,10 +360,16 @@ def solve_se3_mpc(
             d, r, z, p, rz, alive = carry
             ap = matvec(p)
             pap = jnp.sum(p * ap, axis=(-1, -2), keepdims=True)
-            # Steihaug truncation: on negative curvature, freeze this
-            # scenario's direction at the current partial sum (alive
-            # stays False for the remaining inner iterations)
-            alive = alive & (pap > 1e-12)
+            # Steihaug truncation: on (near-)negative curvature, freeze
+            # this scenario's direction at the current partial sum (alive
+            # stays False for the remaining inner iterations). The guard
+            # is SCALE-INVARIANT — pap exceeding a tiny fraction of |p|^2
+            # (a Rayleigh-quotient floor) — because an absolute epsilon
+            # lets rounding-level positive pap through and alpha = rz/pap
+            # then explodes the direction, wasting the whole round on a
+            # rejected line search (observed on TPU with bf16 matvecs).
+            pp = jnp.sum(p * p, axis=(-1, -2), keepdims=True)
+            alive = alive & (pap > 1e-8 * pp)
             ok = alive.astype(d.dtype)
             alpha = ok * rz / jnp.maximum(pap, 1e-12)
             d = d + alpha * p
