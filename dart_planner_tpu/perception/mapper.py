@@ -223,6 +223,7 @@ def extract_obstacles(
     size_cells: int = 32,
     suppression_radius: float = 0.0,
     toward: Optional[Array] = None,
+    seg_start: Optional[Array] = None,
 ) -> tuple[Array, Array]:
     """Occupied voxels as padded sphere obstacles (K, 4) + mask.
 
@@ -234,7 +235,13 @@ def extract_obstacles(
 
     Selection: by default the nearest K to ``center`` (reference
     behavior). With ``toward`` set, voxels are ranked by distance to the
-    SEGMENT center->toward — the corridor the vehicle will actually fly.
+    SEGMENT seg_start->toward (seg_start defaults to ``center``) — the
+    corridor the vehicle will actually fly. Passing the corridor
+    *midpoint* as ``center`` with ``seg_start``/``toward`` as its
+    endpoints keeps the extraction window centered on the corridor (the
+    window only spans size_cells*resolution, so centering it on an
+    endpoint loses the far half of long corridors) while still ranking
+    by the full flight segment.
     ``suppression_radius`` > 0 switches to greedy non-maximum
     suppression: after each pick, voxels within that radius are excluded,
     so the K slots spread across distinct obstacle blobs instead of all
@@ -253,14 +260,17 @@ def extract_obstacles(
     if toward is None:
         d2 = jnp.sum((centers - center) ** 2, axis=-1)
     else:
-        seg = jnp.asarray(toward, centers.dtype) - center
+        a = center if seg_start is None else jnp.asarray(
+            seg_start, centers.dtype
+        )
+        seg = jnp.asarray(toward, centers.dtype) - a
         t = jnp.clip(
-            jnp.sum((centers - center) * seg, axis=-1)
+            jnp.sum((centers - a) * seg, axis=-1)
             / jnp.maximum(jnp.sum(seg * seg), 1e-9),
             0.0,
             1.0,
         )
-        nearest = center + t[..., None] * seg
+        nearest = a + t[..., None] * seg
         d2 = jnp.sum((centers - nearest) ** 2, axis=-1)
     score0 = jnp.where(occupied, -d2, -jnp.inf).reshape(-1)
     flat_centers = centers.reshape(-1, 3)

@@ -15,7 +15,14 @@ Differences from the reference, by design:
   rest of this repo's key handling (``key_manager.SecureKeyManager``'s
   store discipline) rather than raising at construction (OK:74-76 raises
   ``ConfigurationError``). Real deployments get the OS service; CI and
-  air-gapped images keep working.
+  air-gapped images keep working. The downgrade is *loud*: a
+  ``logging.warning`` fires whenever the OS backend was preferred but
+  unavailable, and ``require_os_keyring=True`` restores the reference's
+  fail-closed behavior (raises ``SecurityError`` at construction) for
+  production deployments.
+- the file backend serializes read-modify-write cycles with an
+  inter-process ``flock`` on a sidecar ``.lock`` file, so concurrent
+  processes sharing the store cannot lose writes.
 - no win32crypt DPAPI re-implementation (OK:290-327) — that layer only
   exists because the reference duplicates what ``keyring`` already does
   on Windows.
@@ -24,7 +31,9 @@ Differences from the reference, by design:
 from __future__ import annotations
 
 import base64
+import contextlib
 import json
+import logging
 import os
 import secrets
 import time
@@ -33,6 +42,13 @@ from pathlib import Path
 from typing import Dict, Optional
 
 from dart_planner_tpu.common.errors import SecurityError
+
+try:  # POSIX-only; Windows keyring deployments use the OS backend anyway
+    import fcntl as _fcntl
+except ImportError:  # pragma: no cover
+    _fcntl = None
+
+logger = logging.getLogger(__name__)
 
 try:  # optional dependency; absent in minimal images
     import keyring as _keyring  # type: ignore
@@ -76,6 +92,35 @@ class _FileKeyring:
 
     def __init__(self, path: str = DEFAULT_FALLBACK_PATH):
         self.path = Path(os.path.expanduser(path))
+        self._lock_depth = 0
+        self._lock_fd: Optional[int] = None
+
+    @contextlib.contextmanager
+    def locked(self):
+        """Exclusive inter-process lock (flock on a sidecar .lock file)
+        held across load-modify-save cycles so two processes sharing the
+        store cannot interleave and lose writes. Re-entrant within the
+        instance; a no-op where fcntl is unavailable."""
+        if _fcntl is None:
+            yield
+            return
+        if self._lock_depth == 0:
+            self.path.parent.mkdir(parents=True, exist_ok=True)
+            self._lock_fd = os.open(
+                self.path.with_suffix(".lock"),
+                os.O_WRONLY | os.O_CREAT,
+                0o600,
+            )
+            _fcntl.flock(self._lock_fd, _fcntl.LOCK_EX)
+        self._lock_depth += 1
+        try:
+            yield
+        finally:
+            self._lock_depth -= 1
+            if self._lock_depth == 0 and self._lock_fd is not None:
+                _fcntl.flock(self._lock_fd, _fcntl.LOCK_UN)
+                os.close(self._lock_fd)
+                self._lock_fd = None
 
     def _load(self) -> Dict[str, Dict[str, str]]:
         if not self.path.exists():
@@ -92,19 +137,21 @@ class _FileKeyring:
         os.chmod(self.path, 0o600)
 
     def set_password(self, service: str, name: str, value: str) -> None:
-        data = self._load()
-        data.setdefault(service, {})[name] = value
-        self._save(data)
+        with self.locked():
+            data = self._load()
+            data.setdefault(service, {})[name] = value
+            self._save(data)
 
     def get_password(self, service: str, name: str) -> Optional[str]:
         return self._load().get(service, {}).get(name)
 
     def delete_password(self, service: str, name: str) -> None:
-        data = self._load()
-        if name not in data.get(service, {}):
-            raise KeyError(name)
-        del data[service][name]
-        self._save(data)
+        with self.locked():
+            data = self._load()
+            if name not in data.get(service, {}):
+                raise KeyError(name)
+            del data[service][name]
+            self._save(data)
 
     def names(self, service: str) -> list:
         return list(self._load().get(service, {}))
@@ -125,21 +172,62 @@ class OSKeyringManager:
         service_name: str = SERVICE_NAME,
         fallback_path: str = DEFAULT_FALLBACK_PATH,
         prefer_os_keyring: bool = True,
+        require_os_keyring: bool = False,
     ):
         self.service_name = service_name
         self.backend_name = "file"
         self._ring = None
+        probe_error: Optional[Exception] = None
         if prefer_os_keyring and KEYRING_AVAILABLE:
             try:
                 _keyring.get_keyring()  # probe the backend (OK:88-92)
                 self._ring = _keyring
                 self.backend_name = type(_keyring.get_keyring()).__name__
-            except Exception:
+            except Exception as exc:
                 self._ring = None
+                probe_error = exc
         if self._ring is None:
+            if require_os_keyring:
+                # fail-closed, matching the reference's ConfigurationError
+                # at construction (OK:74-76)
+                raise SecurityError(
+                    "OS keyring required but unavailable: "
+                    + (
+                        f"backend probe failed ({probe_error})"
+                        if probe_error is not None
+                        else "keyring package not installed"
+                    )
+                )
+            if prefer_os_keyring:
+                # The downgrade must be loud: a deployment that believes
+                # it is on the OS credential service should not silently
+                # end up on a plaintext-equivalent file store.
+                if probe_error is not None:
+                    logger.warning(
+                        "OS keyring backend probe failed (%s); falling "
+                        "back to file store at %s — key material is only "
+                        "filesystem-permission protected",
+                        probe_error,
+                        fallback_path,
+                    )
+                elif not KEYRING_AVAILABLE:
+                    logger.warning(
+                        "keyring package not installed; falling back to "
+                        "file store at %s — key material is only "
+                        "filesystem-permission protected",
+                        fallback_path,
+                    )
             self._file = _FileKeyring(fallback_path)
         else:
             self._file = None
+
+    def _locked(self):
+        """Store-wide lock for multi-step read-modify-write sequences on
+        the file backend; no-op on OS keyring backends (which serialize
+        per-entry internally)."""
+        if self._file is not None:
+            return self._file.locked()
+        return contextlib.nullcontext()
 
     # -- entry plumbing -------------------------------------------------
     def _name(self, key_id: str, key_type: str) -> str:
@@ -202,35 +290,38 @@ class OSKeyringManager:
             }
         )
         name = self._name(key_id, key_type)
-        self._set(name, envelope)
-        idx = self._index()
-        if name not in idx:
-            self._save_index(idx + [name])
+        with self._locked():
+            self._set(name, envelope)
+            idx = self._index()
+            if name not in idx:
+                self._save_index(idx + [name])
         return key_id
 
     def retrieve_key(self, key_id: str, key_type: str) -> Optional[bytes]:
         """Fetch key bytes; bumps usage count; expired keys return None
         (OK:150-195)."""
         name = self._name(key_id, key_type)
-        raw = self._get(name)
-        if raw is None:
-            return None
-        env = json.loads(raw)
-        meta = env["meta"]
-        if meta.get("expires_at") and time.time() > meta["expires_at"]:
-            return None
-        meta["usage_count"] = int(meta.get("usage_count", 0)) + 1
-        self._set(name, json.dumps(env))
+        with self._locked():
+            raw = self._get(name)
+            if raw is None:
+                return None
+            env = json.loads(raw)
+            meta = env["meta"]
+            if meta.get("expires_at") and time.time() > meta["expires_at"]:
+                return None
+            meta["usage_count"] = int(meta.get("usage_count", 0)) + 1
+            self._set(name, json.dumps(env))
         return base64.b64decode(env["key"])
 
     def delete_key(self, key_id: str, key_type: str) -> bool:
         """(OK:197-223)"""
         name = self._name(key_id, key_type)
-        try:
-            self._delete(name)
-        except Exception:
-            return False
-        self._save_index([n for n in self._index() if n != name])
+        with self._locked():
+            try:
+                self._delete(name)
+            except Exception:
+                return False
+            self._save_index([n for n in self._index() if n != name])
         return True
 
     def list_keys(
@@ -254,11 +345,12 @@ class OSKeyringManager:
         """Store the replacement, then delete the old entry (OK:245-267).
         Order matters: a crash between the two operations must leave a
         usable key, so the new one lands first."""
-        old = self.retrieve_key(key_id, key_type)
-        if old is None:
-            raise SecurityError(f"cannot rotate unknown key {key_id!r}")
-        new_id = self.store_key(new_key_data, key_type)
-        self.delete_key(key_id, key_type)
+        with self._locked():
+            old = self.retrieve_key(key_id, key_type)
+            if old is None:
+                raise SecurityError(f"cannot rotate unknown key {key_id!r}")
+            new_id = self.store_key(new_key_data, key_type)
+            self.delete_key(key_id, key_type)
         return new_id
 
     def validate_key_access(self) -> bool:

@@ -147,9 +147,13 @@ def _perceive_one(
             mc, pos, true_obs, true_mask, num_rays=config.num_rays
         )
         vm = gm.update_with_scan(mc, vm, o, dirs, hd)
+    # Window centered on the corridor MIDPOINT (the 32-cell window spans
+    # only ±8 m; centering on `start` loses spheres past ~10.7 m on long
+    # corridors), ranking by the full start->goal flight segment.
     return gm.extract_obstacles(
-        mc, vm, start, max_obstacles=max_obstacles,
+        mc, vm, 0.5 * (start + goal), max_obstacles=max_obstacles,
         suppression_radius=config.suppression_radius, toward=goal,
+        seg_start=start,
     )
 
 

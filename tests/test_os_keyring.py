@@ -85,3 +85,66 @@ def test_fallback_file_is_owner_only(mgr, tmp_path):
 
 def test_backend_reports_file_when_keyring_absent(mgr):
     assert mgr.backend_name == "file"
+
+
+def test_require_os_keyring_raises_when_unavailable(tmp_path):
+    # keyring absent from this image -> strict mode must fail closed
+    # (reference raises ConfigurationError at construction, OK:74-76)
+    with pytest.raises(SecurityError):
+        os_keyring.OSKeyringManager(
+            fallback_path=str(tmp_path / "ring.json"),
+            require_os_keyring=True,
+        )
+
+
+def test_fallback_emits_warning(tmp_path, caplog):
+    import logging
+
+    with caplog.at_level(logging.WARNING, logger=os_keyring.__name__):
+        os_keyring.OSKeyringManager(
+            fallback_path=str(tmp_path / "ring.json"),
+        )
+    assert any("falling back" in r.message for r in caplog.records)
+
+
+def test_explicit_file_backend_is_silent(tmp_path, caplog):
+    import logging
+
+    with caplog.at_level(logging.WARNING, logger=os_keyring.__name__):
+        os_keyring.OSKeyringManager(
+            fallback_path=str(tmp_path / "ring.json"),
+            prefer_os_keyring=False,
+        )
+    assert not caplog.records
+
+
+def test_file_store_concurrent_writers_lose_nothing(tmp_path):
+    """Two processes hammering the same store: flock serializes the
+    read-modify-write cycles, so every stored key must survive."""
+    import multiprocessing as mp
+
+    path = str(tmp_path / "ring.json")
+
+    def worker(tag, n):
+        m = os_keyring.OSKeyringManager(
+            fallback_path=path, prefer_os_keyring=False
+        )
+        for i in range(n):
+            m.store_key(
+                f"{tag}-{i}".encode(), os_keyring.KeyType.API,
+                key_id=f"{tag}-{i}",
+            )
+
+    procs = [
+        mp.Process(target=worker, args=(t, 20)) for t in ("a", "b")
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+        assert p.exitcode == 0
+    m = os_keyring.OSKeyringManager(
+        fallback_path=path, prefer_os_keyring=False
+    )
+    keys = m.list_keys(os_keyring.KeyType.API)
+    assert len(keys) == 40
