@@ -20,8 +20,15 @@ from typing import Any, Dict, List, Optional
 import jax.numpy as jnp
 import numpy as np
 
-from dart_planner_tpu.common.errors import CommunicationError
+from dart_planner_tpu.common.errors import (
+    CommunicationError,
+    ValidationError,
+)
 from dart_planner_tpu.common.logging_config import get_logger
+from dart_planner_tpu.security.validation import (
+    SafetyLimits,
+    validate_trajectory,
+)
 from dart_planner_tpu.common.timing import TimingConfig, TimingManager
 from dart_planner_tpu.common.types import Trajectory
 from dart_planner_tpu.comms import SecureSerializer, ZmqClient
@@ -56,6 +63,22 @@ class EdgeConfig:
     degraded_after_s: float = 1.0
     autonomous_after_s: float = 3.0
     emergency_after_s: float = 10.0
+    # Safety envelope applied to every trajectory received over ZMQ
+    # before it reaches the smoother (reference validation.py:288-322 —
+    # the reference builds the validator but never wires it into its
+    # edge loop; here rejection is part of ingestion). Bounds follow
+    # the MPC's own envelope (se3_mpc.py: v<=10 m/s, a<=15 m/s^2) with
+    # headroom, not the reference's tighter defaults, so legitimate
+    # aggressive plans are not refused.
+    trajectory_limits: SafetyLimits = SafetyLimits(
+        min_altitude=-1.0,
+        max_horizontal_velocity=15.0,
+        max_vertical_velocity=15.0,
+        max_horizontal_acceleration=25.0,
+        max_vertical_acceleration=25.0,
+        max_segment_length=20.0,
+        continuity_tolerance=0.5,
+    )
 
 
 class EdgeController:
@@ -85,6 +108,7 @@ class EdgeController:
         )
         self.tier = FailsafeTier.AUTONOMOUS
         self.last_cloud_ok = 0.0
+        self.rejected_trajectories = 0
         self.log_rows: List[Dict[str, Any]] = []
         self._running = False
 
@@ -117,6 +141,22 @@ class EdgeController:
         except CommunicationError:
             return None
         if not out or not out.get("available"):
+            return None
+        try:
+            # Trust boundary: the payload is HMAC-authenticated transport
+            # but its CONTENT is still unvalidated — a compromised or
+            # buggy cloud must not be able to command an out-of-envelope
+            # or discontinuous flight path.
+            validate_trajectory(
+                out["timestamps"],
+                out["positions"],
+                out["velocities"],
+                out["accelerations"],
+                limits=self.config.trajectory_limits,
+            )
+        except (ValidationError, KeyError) as e:
+            logger.warning("rejected cloud trajectory: %s", e)
+            self.rejected_trajectories += 1
             return None
         return Trajectory(
             timestamps=jnp.asarray(out["timestamps"], jnp.float32),

@@ -17,13 +17,23 @@ from dart_planner_tpu.security.auth import (
 )
 from dart_planner_tpu.security.rate_limiter import RateLimitConfig, RateLimiter
 from dart_planner_tpu.security.validation import (
+    SafetyLimits,
+    validate_attitude,
+    validate_command_envelope,
+    validate_control_command,
     validate_identifier,
     validate_position,
+    validate_sensor_data,
+    validate_trajectory,
     validate_waypoints,
 )
 from dart_planner_tpu.security.file_verification import (
+    FileRecord,
+    FileVerificationManager,
     compute_file_digest,
+    create_file_verification,
     verify_file_digest,
+    verify_file_integrity,
 )
 
 __all__ = [
@@ -34,11 +44,21 @@ __all__ = [
     "generate_rsa_keypair",
     "RateLimitConfig",
     "RateLimiter",
+    "SafetyLimits",
+    "validate_attitude",
+    "validate_command_envelope",
+    "validate_control_command",
     "validate_identifier",
     "validate_position",
+    "validate_sensor_data",
+    "validate_trajectory",
     "validate_waypoints",
+    "FileRecord",
+    "FileVerificationManager",
     "compute_file_digest",
+    "create_file_verification",
     "verify_file_digest",
+    "verify_file_integrity",
 ]
 
 from dart_planner_tpu.security.key_derivation import (  # noqa: E402
