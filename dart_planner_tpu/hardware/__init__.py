@@ -27,8 +27,16 @@ from dart_planner_tpu.hardware.motor_mixer import (
 )
 from dart_planner_tpu.hardware.safety_watchdog import SafetyWatchdog
 from dart_planner_tpu.hardware.latency_buffer import LatencyBuffer
+from dart_planner_tpu.hardware.mission import (
+    MissionConfig,
+    MissionRunner,
+    start_mission,
+)
 
 __all__ = [
+    "MissionConfig",
+    "MissionRunner",
+    "start_mission",
     "VehicleIO",
     "VehicleIOFactory",
     "SafetyValidatedVehicleIO",

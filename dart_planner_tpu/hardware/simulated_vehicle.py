@@ -45,6 +45,7 @@ class SimulatedVehicleIO(VehicleIO):
         self._reset_state(cfg.get("initial_position", (0.0, 0.0, 0.0)), horizon)
         self.sim_time = 0.0
         self.control_dt = cfg.get("control_dt", 0.0025)  # 400 Hz
+        self.last_command = None
 
     def _reset_state(self, position, horizon: int) -> None:
         self.rb = phys.RigidBodyState.from_drone_state(
@@ -127,6 +128,9 @@ class SimulatedVehicleIO(VehicleIO):
         )
         if not self.armed:
             cmd = cmd.replace(thrust=jnp.zeros_like(cmd.thrust))
+        # expose the actuated wrench for external watchdogs (the mission
+        # runner's motor-saturation monitor, hardware/mission.py)
+        self.last_command = cmd
         self.rb = phys.rigid_body_step(self.physics, self.rb, cmd, dt)
         self.sim_time += dt
         return self.get_state()
