@@ -97,25 +97,38 @@ def test_require_os_keyring_raises_when_unavailable(tmp_path):
         )
 
 
-def test_fallback_emits_warning(tmp_path, caplog):
+@pytest.fixture
+def keyring_caplog(caplog):
+    """caplog wired directly to the module logger: the package logging
+    config sets propagate=False on the root package logger
+    (common/logging_config.py), so caplog's root-logger handler misses
+    records once any earlier test configures logging."""
     import logging
 
-    with caplog.at_level(logging.WARNING, logger=os_keyring.__name__):
-        os_keyring.OSKeyringManager(
-            fallback_path=str(tmp_path / "ring.json"),
-        )
-    assert any("falling back" in r.message for r in caplog.records)
+    logger = logging.getLogger(os_keyring.__name__)
+    logger.addHandler(caplog.handler)
+    try:
+        with caplog.at_level(logging.WARNING, logger=os_keyring.__name__):
+            yield caplog
+    finally:
+        logger.removeHandler(caplog.handler)
 
 
-def test_explicit_file_backend_is_silent(tmp_path, caplog):
-    import logging
+def test_fallback_emits_warning(tmp_path, keyring_caplog):
+    os_keyring.OSKeyringManager(
+        fallback_path=str(tmp_path / "ring.json"),
+    )
+    assert any(
+        "falling back" in r.message for r in keyring_caplog.records
+    )
 
-    with caplog.at_level(logging.WARNING, logger=os_keyring.__name__):
-        os_keyring.OSKeyringManager(
-            fallback_path=str(tmp_path / "ring.json"),
-            prefer_os_keyring=False,
-        )
-    assert not caplog.records
+
+def test_explicit_file_backend_is_silent(tmp_path, keyring_caplog):
+    os_keyring.OSKeyringManager(
+        fallback_path=str(tmp_path / "ring.json"),
+        prefer_os_keyring=False,
+    )
+    assert not keyring_caplog.records
 
 
 def test_file_store_concurrent_writers_lose_nothing(tmp_path):
