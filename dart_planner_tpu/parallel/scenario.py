@@ -103,6 +103,14 @@ def solve_fleet(
     once per solve. On an oversubscribed test fabric (loopback gRPC
     sharing the compute cores) the per-call psum alone costs tens of
     percent of weak-scaling efficiency; see docs/scaling.md.
+
+    Adaptive tail refinement (``config.tail_iterations`` > 0) runs PER
+    SHARD: each shard compacts and refines its own worst
+    ``tail_capacity`` fraction, with no cross-shard gather — load stays
+    balanced and no collectives are added, at the price of bitwise
+    mesh-size invariance (which shard-boundary scenarios get the extra
+    polish depends on the split; the single-phase core remains
+    mesh-invariant, tests/test_scaling.py).
     """
     if u_init is None:
         u_init = se3_mpc.initialize_thrusts(config, prob)

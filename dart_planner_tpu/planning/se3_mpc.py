@@ -99,6 +99,34 @@ class SE3MPCConfig(NamedTuple):
     newton_full_curvature: bool = True
     gn_warmup_iterations: int = 6
 
+    # Adaptive tail refinement (two-phase solve; VERDICT round-3 item 2):
+    # after the fixed-budget phase-1 solve, the ``tail_capacity`` fraction
+    # of scenarios ranked unconverged-first is gathered into a compact
+    # batch and refined for ``tail_iterations`` full-curvature Newton
+    # rounds at ``tail_cg_iterations`` inner CG steps. The slow tail's
+    # ~0.5x/round cost-error decay is INNER-CG-limited (hinge blocks at
+    # weight 1000 push the reduced condition number far past the CG-10
+    # design point; measured per-round decay matches the CG error factor)
+    # — CG-25 restores a ~0.2x/round decay, so a few refine rounds stall
+    # (ftol-converge) most of the tail. Refining only the compacted tail
+    # keeps the extra cost ~ capacity * rounds instead of batch * rounds.
+    # 0 disables (single-phase solve). Applied by :func:`solve`;
+    # :func:`solve_se3_mpc` itself stays single-phase. Budget chosen on
+    # the bench batch (scripts/diag_convergence.py): 12+8@25 at capacity
+    # 0.25 measures conv 0.966 / max excess 0.044 (XLA path, 4096
+    # scenarios) vs 0.775 / 1.08 single-phase.
+    tail_iterations: int = 8
+    tail_cg_iterations: int = 25
+    tail_capacity: float = 0.25
+    # Cold-start mode for :func:`initialize_thrusts`: "qp" starts at the
+    # box-clipped unconstrained minimizer of the QUADRATIC cost terms
+    # (one precomputed (N,N)-inverse matmul per axis — the constant
+    # Hessian makes the hinge-free problem exactly solvable), "hover" at
+    # hover thrust (the round-3 behavior). Measured on the bench batch,
+    # "qp" starts in better basins: max cost-vs-ground-truth excess at
+    # the 12-round budget drops ~40x while p95 is unchanged.
+    cold_start: str = "qp"
+
     ground_weight: float = 50000.0  # ground-clearance hinge (novel vs reference)
     min_altitude: float = 0.3  # m
     velocity_bound_weight: float = 1000.0  # +-max_velocity hinge (ref box bound)
@@ -201,14 +229,59 @@ def make_problem(
     return costs.Problem(p0=p0, v0=v0, goal=g, obstacles=obs, obstacle_mask=mask)
 
 
-def initialize_thrusts(config: SE3MPCConfig, prob: costs.Problem) -> Array:
-    """Cold start: hover thrust at every step (the condensed analog of the
-    reference's straight-line init, se3_mpc_planner.py:329-359 — positions
-    are no longer decision variables, so only the thrust guess remains)."""
+@functools.lru_cache(maxsize=32)
+def _quadratic_hessian_inverse(config: SE3MPCConfig) -> np.ndarray:
+    """Inverse of the constant per-axis quadratic Hessian (float64 solve,
+    cached per config) — the QP cold start is one matmul with this."""
+    H = costs.quadratic_hessian(
+        config.prediction_horizon, config.dt, config.mass, config.gravity,
+        config.weights,
+    )
+    return np.linalg.inv(np.asarray(H, np.float64)).astype(np.float32)
+
+
+def initialize_thrusts(
+    config: SE3MPCConfig, prob: costs.Problem, mode: Optional[str] = None
+) -> Array:
+    """Cold start (the condensed analog of the reference's straight-line
+    init, se3_mpc_planner.py:329-359 — positions are no longer decision
+    variables, so only the thrust guess remains).
+
+    ``mode`` (default ``config.cold_start``):
+
+    - ``"qp"``: exact unconstrained minimizer of the quadratic cost terms
+      — the constant per-axis Hessian is invertible once per config, and
+      the gradient at hover is affine in (p0, v0, goal), so the optimum
+      is ``u_h - H^-1 g(u_h)`` (box-clipped). Scenarios whose hinges
+      never activate start essentially converged; obstacle-heavy
+      scenarios start on the quadratic-optimal trajectory, which lands
+      the staged Newton in materially better basins than hover
+      (measured: max cost excess at the 12-round budget ~40x lower).
+    - ``"hover"``: hover thrust at every step.
+    """
     N = config.prediction_horizon
     batch = prob.p0.shape[:-1]
-    hover = jnp.array([0.0, 0.0, config.hover_thrust], prob.p0.dtype)
-    return jnp.broadcast_to(hover, batch + (N, 3))
+    dtype = prob.p0.dtype
+    hover = jnp.array([0.0, 0.0, config.hover_thrust], dtype)
+    u_h = jnp.broadcast_to(hover, batch + (N, 3))
+    if (mode or config.cold_start) == "hover":
+        return u_h
+    # gradient of the quadratic terms only (hinge weights zeroed; the
+    # obstacle term vanishes with weight 0, so masks need no stripping)
+    w_quad = config.weights._replace(
+        obstacle=0.0, ground=0.0, velocity_bound=0.0, tilt=0.0,
+        thrust_norm=0.0,
+    )
+    gvec = frames.gravity_vector(
+        frames.WorldFrame.ENU, config.gravity
+    ).astype(dtype)
+    g = costs.condensed_grad(u_h, prob, w_quad, config.dt, config.mass, gvec)
+    Hinv = jnp.asarray(_quadratic_hessian_inverse(config), dtype)
+    u_qp = u_h - jnp.einsum(
+        "ij,...jd->...id", Hinv, g, precision=jax.lax.Precision.HIGHEST
+    )
+    lb, ub = config.thrust_bounds(dtype)
+    return jnp.clip(u_qp, lb, ub)
 
 
 def shift_warm_start(config: SE3MPCConfig, u_prev: Array) -> Array:
@@ -228,12 +301,15 @@ def _strip_obstacles(prob: costs.Problem) -> costs.Problem:
     return prob._replace(obstacle_mask=jnp.zeros_like(prob.obstacle_mask))
 
 
-@functools.partial(jax.jit, static_argnames=("config", "use_obstacles"))
+@functools.partial(
+    jax.jit, static_argnames=("config", "use_obstacles", "with_grad")
+)
 def solve_se3_mpc(
     config: SE3MPCConfig,
     prob: costs.Problem,
     u_init: Optional[Array] = None,
     use_obstacles: bool = True,
+    with_grad: bool = True,
 ) -> SolveResult:
     """Projected-Newton solve of the condensed SE(3) MPC.
 
@@ -444,7 +520,7 @@ def solve_se3_mpc(
         u, min_improvement = jax.lax.fori_loop(
             0, rest, make_body(True), (u, imp0)
         )
-    return _finalize(config, prob, u, min_improvement)
+    return _finalize(config, prob, u, min_improvement, with_grad=with_grad)
 
 
 def _finalize(
@@ -452,6 +528,7 @@ def _finalize(
     prob: costs.Problem,
     u: Array,
     min_improvement: Optional[Array] = None,
+    with_grad: bool = True,
 ) -> SolveResult:
     """Diagnostics + dynamics-consistent rollout for a final thrust iterate
     (shared by the XLA and fused-Pallas solver paths).
@@ -487,14 +564,22 @@ def _finalize(
     lb_full = jnp.broadcast_to(lb, (N, 3))
     ub_full = jnp.broadcast_to(ub, (N, 3))
 
-    # projected gradient norm (criticality diagnostic for the box QP)
-    g = costs.condensed_grad(u, prob, w, config.dt, config.mass, gvec)
-    pg = jnp.clip(u - g, lb_full, ub_full) - u
-    grad_norm = jnp.linalg.norm(pg.reshape(batch + (n_flat,)), axis=-1)
+    # projected gradient norm (criticality diagnostic for the box QP).
+    # ``with_grad=False`` skips the AD pass — the tail-refine phase keeps
+    # phase-1's diagnostic instead of paying a full gradient evaluation
+    # for a value that plays no part in the convergence criterion.
+    if with_grad:
+        g = costs.condensed_grad(u, prob, w, config.dt, config.mass, gvec)
+        pg = jnp.clip(u - g, lb_full, ub_full) - u
+        grad_norm = jnp.linalg.norm(pg.reshape(batch + (n_flat,)), axis=-1)
+    else:
+        grad_norm = None
     if min_improvement is not None:
         converged = min_improvement <= config.ftol
-    else:  # legacy fallback: raw projected-gradient criterion
+    elif grad_norm is not None:  # legacy: raw projected-gradient criterion
         converged = grad_norm < config.convergence_tolerance * n_flat
+    else:
+        raise ValueError("with_grad=False requires min_improvement")
 
     pos, vel, acc = dynamics.rollout_linear(
         u, prob.p0, prob.v0, config.dt, config.mass, gvec
@@ -511,6 +596,132 @@ def _finalize(
     )
 
 
+def _solve_once(
+    config: SE3MPCConfig,
+    prob: costs.Problem,
+    u_init: Optional[Array],
+    use_obstacles: bool,
+    method: str,
+    block_b: int,
+    with_grad: bool = True,
+) -> SolveResult:
+    """One fixed-budget solve on the selected path (no tail refinement)."""
+    if method == "xla":
+        return solve_se3_mpc(
+            config, prob, u_init, use_obstacles, with_grad=with_grad
+        )
+    from dart_planner_tpu.ops import pallas_mpc
+
+    if u_init is None:
+        u_init = initialize_thrusts(config, prob)
+    u, min_improvement = pallas_mpc.solve_thrusts_fused(
+        config,
+        prob,
+        u_init,
+        use_obstacles=use_obstacles,
+        block_b=block_b,
+        interpret=jax.default_backend() != "tpu",
+    )
+    return _finalize(config, prob, u, min_improvement, with_grad=with_grad)
+
+
+def _tail_refine(
+    config: SE3MPCConfig,
+    prob: costs.Problem,
+    res: SolveResult,
+    use_obstacles: bool,
+    method: str,
+    block_b: int,
+) -> SolveResult:
+    """Adaptive phase 2: refine the unconverged tail in a compact batch.
+
+    Scenarios are ranked unconverged-first (stable argsort of the phase-1
+    stall mask) and the first ``ceil(tail_capacity * B)`` are re-solved,
+    warm-started from their phase-1 iterate, for ``tail_iterations``
+    full-curvature Newton rounds at ``tail_cg_iterations`` CG steps (the
+    tail's crawl is inner-CG-limited; see SE3MPCConfig docstring). The
+    batched equivalent of the reference's run-until-ftol scipy loop
+    (se3_mpc_planner.py:256-268): converged scenarios pay nothing beyond
+    the capacity slack, the tail gets the iterations it needs. Results
+    scatter back only where the refined cost is no worse (bf16 line-search
+    near-ties on the fused path could otherwise accept ~1e-5 relative
+    regressions); ``converged`` ORs the two stalls — the combined
+    criterion is still "some Newton round realized <= ftol progress".
+    """
+    batch_shape = res.cost.shape
+    B = int(np.prod(batch_shape, dtype=np.int64)) if batch_shape else 1
+    C = max(1, int(np.ceil(config.tail_capacity * B)))
+    nb = len(batch_shape)
+
+    def flat(x):
+        """Flatten batch dims; fields without the batch prefix (shared
+        obstacle sets, scalar goals) broadcast to the full batch first."""
+        if x is None:
+            return None
+        if x.shape[:nb] != batch_shape:
+            x = jnp.broadcast_to(x, batch_shape + x.shape)
+        return x.reshape((B,) + x.shape[nb:])
+
+    prob_f = costs.Problem(*[flat(x) for x in prob])
+    res_f = SolveResult(*[flat(x) for x in res])
+    # unconverged first via a stable PARTITION (two prefix sums + one
+    # scatter) — a full argsort costs ~0.1 ms of bitonic passes on TPU
+    # for 4096 lanes, pure glue on the hot path
+    unconv = (~res_f.converged).astype(jnp.int32)
+    rank_u = jnp.cumsum(unconv) - 1
+    n_unconv = rank_u[-1] + 1
+    rank_c = jnp.cumsum(1 - unconv) - 1
+    slot = jnp.where(unconv == 1, rank_u, n_unconv + rank_c)  # permutation
+    idx_full = jnp.zeros((B,), slot.dtype).at[slot].set(
+        jnp.arange(B, dtype=slot.dtype)
+    )
+    idx = idx_full[:C]
+
+    take = lambda x: None if x is None else x[idx]  # noqa: E731
+    prob_t = costs.Problem(*[take(x) for x in prob_f])
+    cfg_t = config._replace(
+        max_iterations=config.tail_iterations,
+        cg_iterations=config.tail_cg_iterations,
+        newton_full_curvature=True,
+        gn_warmup_iterations=0,
+        tail_iterations=0,
+    )
+    ref = _solve_once(
+        cfg_t, prob_t, res_f.thrusts[idx], use_obstacles, method,
+        min(block_b, 1024), with_grad=False,
+    )
+    ok = ref.cost <= res_f.cost[idx]
+
+    def put(field, new):
+        old = getattr(res_f, field)
+        if old is None or new is None:
+            return old
+        sel = ok.reshape(ok.shape + (1,) * (new.ndim - ok.ndim))
+        return old.at[idx].set(jnp.where(sel, new, old[idx]))
+
+    out = SolveResult(
+        thrusts=put("thrusts", ref.thrusts),
+        positions=put("positions", ref.positions),
+        velocities=put("velocities", ref.velocities),
+        accelerations=put("accelerations", ref.accelerations),
+        cost=put("cost", ref.cost),
+        converged=res_f.converged.at[idx].set(
+            res_f.converged[idx] | (ok & ref.converged)
+        ),
+        # grad_norm keeps the phase-1 diagnostic for refined scenarios
+        # (with_grad=False above skips the AD pass; the value is not part
+        # of the ftol convergence criterion)
+        grad_norm=res_f.grad_norm,
+        min_improvement=put("min_improvement", ref.min_improvement),
+    )
+    return SolveResult(
+        *[
+            None if x is None else x.reshape(batch_shape + x.shape[1:])
+            for x in out
+        ]
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("config", "use_obstacles", "method", "block_b")
 )
@@ -524,26 +735,17 @@ def solve(
 ) -> SolveResult:
     """Solve dispatcher: ``"fused"`` = single fused Pallas kernel (TPU),
     ``"xla"`` = pure-XLA path, ``"auto"`` = fused on TPU, XLA elsewhere.
-    Both paths run the identical algorithm and agree to float tolerance."""
+    Both paths run the identical algorithm and agree to float tolerance.
+    With ``config.tail_iterations`` > 0, a second compacted pass refines
+    the unconverged tail (see :func:`_tail_refine`)."""
     if method == "auto":
         method = "fused" if jax.default_backend() == "tpu" else "xla"
     if not use_obstacles:
         prob = _strip_obstacles(prob)
-    if method == "xla":
-        return solve_se3_mpc(config, prob, u_init, use_obstacles)
-    from dart_planner_tpu.ops import pallas_mpc
-
-    if u_init is None:
-        u_init = initialize_thrusts(config, prob)
-    u, min_improvement = pallas_mpc.solve_thrusts_fused(
-        config,
-        prob,
-        u_init,
-        use_obstacles=use_obstacles,
-        block_b=block_b,
-        interpret=jax.default_backend() != "tpu",
-    )
-    return _finalize(config, prob, u, min_improvement)
+    res = _solve_once(config, prob, u_init, use_obstacles, method, block_b)
+    if config.tail_iterations > 0:
+        res = _tail_refine(config, prob, res, use_obstacles, method, block_b)
+    return res
 
 
 def extract_trajectory(

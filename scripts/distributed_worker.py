@@ -62,8 +62,14 @@ def main():
     assert jax.process_count() == args.num_processes
     mesh = distributed.global_fleet_mesh()
 
+    # tail refinement off: its compaction refines the worst capacity
+    # fraction PER SHARD, so the multi-process result would legitimately
+    # differ from the single-process reference recomputation below — this
+    # harness checks cross-process psum/mesh plumbing on the invariant
+    # single-phase core (see parallel/scenario.py docstring).
     config = se3_mpc.SE3MPCConfig(
-        prediction_horizon=args.horizon, max_iterations=args.iterations
+        prediction_horizon=args.horizon, max_iterations=args.iterations,
+        tail_iterations=0,
     )
 
     import numpy as np

@@ -17,8 +17,14 @@ import pytest
 from dart_planner_tpu.parallel import scenario
 from dart_planner_tpu.planning import se3_mpc
 
+# tail refinement off: its compaction picks the worst ceil(capacity * B)
+# scenarios PER SHARD, so the refined cohort (and thus bitwise results)
+# legitimately depends on the mesh split — the invariance contract below
+# applies to the single-phase core solve. See parallel/scenario.py for
+# the per-shard refinement semantics.
 CFG = se3_mpc.SE3MPCConfig(
-    prediction_horizon=8, max_iterations=3, cg_iterations=8
+    prediction_horizon=8, max_iterations=3, cg_iterations=8,
+    tail_iterations=0,
 )
 
 

@@ -191,3 +191,86 @@ def test_is_plan_valid_rejects_bad():
     assert not bool(se3_mpc.is_plan_valid(bad))
     low = traj.replace(positions=traj.positions.at[3, 2].set(0.05))
     assert not bool(se3_mpc.is_plan_valid(low))
+
+
+def test_qp_cold_start_is_quadratic_optimal():
+    """The "qp" cold start is the exact unconstrained minimizer of the
+    quadratic cost terms: with all hinge weights zero and bounds wide,
+    one Newton round from it must produce (numerically) zero
+    improvement, and its quadratic cost must beat the hover start."""
+    import jax.numpy as jnp
+
+    from dart_planner_tpu.common import frames
+    from dart_planner_tpu.ops import costs
+
+    rng = np.random.default_rng(5)
+    B = 16
+    cfg = CFG._replace(
+        tail_iterations=0,
+        ground_weight=0.0, velocity_bound_weight=0.0, tilt_weight=0.0,
+        thrust_norm_weight=0.0, max_thrust=1e6, min_thrust=-1e6,
+        max_tilt_angle=float(np.pi / 2.0001),
+    )
+    prob = se3_mpc.make_problem(
+        rng.normal(0, 2, (B, 3)).astype(np.float32) + [0, 0, 5],
+        rng.normal(0, 1, (B, 3)).astype(np.float32),
+        rng.normal(0, 4, (B, 3)).astype(np.float32) + [0, 0, 5],
+        config=cfg,
+    )
+    u_qp = se3_mpc.initialize_thrusts(cfg, prob, mode="qp")
+    u_h = se3_mpc.initialize_thrusts(cfg, prob, mode="hover")
+    gvec = frames.gravity_vector(frames.WorldFrame.ENU, cfg.gravity).astype(
+        jnp.float32
+    )
+    c_qp = np.asarray(
+        costs.condensed_cost(u_qp, prob, cfg.weights, cfg.dt, cfg.mass, gvec)
+    )
+    c_h = np.asarray(
+        costs.condensed_cost(u_h, prob, cfg.weights, cfg.dt, cfg.mass, gvec)
+    )
+    assert np.all(c_qp < c_h)
+    r = se3_mpc.solve(
+        cfg._replace(max_iterations=1), prob, u_qp, method="xla",
+        use_obstacles=False,
+    )
+    rel = np.asarray(
+        (c_qp - np.asarray(r.cost)) / (1.0 + np.abs(np.asarray(r.cost)))
+    )
+    assert np.all(rel < 1e-4), rel.max()
+
+
+def test_tail_refine_improves_unconverged_and_never_regresses():
+    """Two-phase solve (tail_iterations > 0): refined scenarios never
+    end with higher cost than phase 1, the combined converged fraction
+    is at least phase 1's, and some unconverged scenario actually
+    converges in the tail pass on an obstacle-dense batch."""
+    rng = np.random.default_rng(11)
+    B = 64
+    base = CFG._replace(max_iterations=6)
+    obs = np.concatenate(
+        [rng.normal(0, 4, (B, 4, 3)), rng.uniform(0.3, 1.2, (B, 4, 1))],
+        axis=-1,
+    ).astype(np.float32)
+    prob = se3_mpc.make_problem(
+        rng.normal(0, 2, (B, 3)).astype(np.float32) + [0, 0, 5],
+        rng.normal(0, 1, (B, 3)).astype(np.float32),
+        rng.normal(0, 5, (B, 3)).astype(np.float32) + [0, 0, 5],
+        obstacles=obs,
+        config=base,
+    )
+    u0 = se3_mpc.initialize_thrusts(base, prob)
+    r1 = se3_mpc.solve(
+        base._replace(tail_iterations=0), prob, u0, method="xla"
+    )
+    r2 = se3_mpc.solve(
+        base._replace(tail_iterations=6, tail_cg_iterations=25,
+                      tail_capacity=0.5),
+        prob, u0, method="xla",
+    )
+    c1, c2 = np.asarray(r1.cost), np.asarray(r2.cost)
+    assert np.all(c2 <= c1 + 1e-5)
+    conv1 = np.asarray(r1.converged)
+    conv2 = np.asarray(r2.converged)
+    assert not np.any(conv1 & ~conv2)  # converged never un-converges
+    assert conv2.mean() > conv1.mean()  # the tail pass converts some
+    assert np.any(c2 < c1 - 1e-3)  # and genuinely improves costs
