@@ -24,7 +24,7 @@ rows with a boolean validity mask.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -70,6 +70,21 @@ class Problem(NamedTuple):
     # which only supports a single goal point)
     obstacles: Array  # (..., K, 4): cx, cy, cz, r_safe (radius + margin)
     obstacle_mask: Array  # (..., K) bool
+    # Optional per-scenario velocity cap (...,) in m/s overriding the
+    # static ``CostWeights.max_velocity`` in the velocity-envelope hinge.
+    # Lets the closed loop slow the vehicle through unknown (unobserved)
+    # map regions without recompiling — the planner-side half of the
+    # reference's "unknown voxels surface prior 0.5" signal
+    # (explicit_geometric_mapper.py:154-169). None = use the static cap.
+    v_cap: Optional[Array] = None
+
+
+def effective_vmax(prob: Problem, weights: CostWeights):
+    """Velocity-envelope cap: per-scenario ``prob.v_cap`` (broadcast over
+    horizon and axis dims) when present, else the static weight."""
+    if prob.v_cap is None:
+        return weights.max_velocity
+    return prob.v_cap[..., None, None]
 
 
 def hover_thrust_vec(mass: float, gravity: float, dtype=jnp.float32) -> Array:
@@ -133,7 +148,8 @@ def condensed_cost(
         # +-max_velocity as hard box bounds on its velocity decision
         # variables (se3_mpc_planner.py:387-389); condensing eliminated
         # those variables, so the envelope returns as a penalty.
-        vviol = jnp.maximum(jnp.abs(vel) - w.max_velocity, 0.0)
+        # ``prob.v_cap`` (when set) tightens the cap per scenario.
+        vviol = jnp.maximum(jnp.abs(vel) - effective_vmax(prob, w), 0.0)
         J += w.velocity_bound * jnp.sum(vviol * vviol, axis=(-1, -2))
     if w.tilt > 0.0:
         # tilt-cone hinge: ||u_xy|| <= tan(theta_max) u_z. The box bounds
@@ -242,7 +258,9 @@ def obstacle_gn_hessian(
         precision=jax.lax.Precision.HIGHEST,
     )
     if weights.velocity_bound > 0.0:
-        v_active = (jnp.abs(vel) > weights.max_velocity).astype(u.dtype)
+        v_active = (jnp.abs(vel) > effective_vmax(prob, weights)).astype(
+            u.dtype
+        )
         S_v = jnp.asarray(S_v_np, u.dtype) / mass
         # diagonal per-axis velocity blocks: H_v[k,a] = 2 w_vb 1{active}
         Hv_diag = 2.0 * weights.velocity_bound * v_active  # (..., N, 3)
@@ -325,8 +343,12 @@ def penalty_blocks(
         Hp = Hp.at[..., 2, 2].add(2.0 * weights.ground * g_active)
     Hv_diag = jnp.zeros(u.shape[:-2] + (N_h, 3), u.dtype)
     if weights.velocity_bound > 0.0:
-        v_active = (jnp.abs(vel) > weights.max_velocity).astype(u.dtype)
-        Hv_diag = 2.0 * weights.velocity_bound * v_active
+        v_active = (jnp.abs(vel) > effective_vmax(prob, weights)).astype(
+            u.dtype
+        )
+        Hv_diag = jnp.broadcast_to(
+            2.0 * weights.velocity_bound * v_active, Hv_diag.shape
+        )
     Hu = None
     if weights.tilt > 0.0 or weights.thrust_norm > 0.0:
         Hu = jnp.zeros(u.shape[:-2] + (N_h, 3, 3), u.dtype)

@@ -94,6 +94,14 @@ def _static_operands(config, G: int) -> dict:
         "Sp2T": bd3((Spm * Spm).T),
         "Sv2T": bd3((Svm * Svm).T),
     }
+    # stacked pairs for the folded-matmul variant (fold_sv): one
+    # (2 NP2, NP2) / (NP2, 2 NP2) matmul replaces two (NP2, NP2) ones
+    # wherever pos- and vel-space maps share an operand (rollout, CG
+    # matvec, gradient pullback, Jacobi diagonal, line-search deltas)
+    ops["SpSv"] = np.vstack([ops["Spm3"], ops["Svm3"]])
+    ops["SpSvT"] = np.hstack([ops["Spm3T"], ops["Svm3T"]])
+    ops["Sq2T"] = np.hstack([ops["Sp2T"], ops["Sv2T"]])
+    ops["HSpSv"] = np.vstack([ops["H3"], ops["SpSv"]])  # CG-matvec stack
 
     # per-scenario (NP1,) row constants, then tiled over the G groups
     def rows1(fn):
@@ -142,6 +150,8 @@ def _solver_kernel(
     G: int,
     fast_cg: bool = True,
     K_real: int | None = None,
+    dynamic_vmax: bool = False,
+    fold_sv: bool = False,
 ):
     """Build the kernel body (all config scalars close over as constants).
 
@@ -150,10 +160,26 @@ def _solver_kernel(
     loops run ``K_real`` iterations — the padding rows carry mask 0 and
     contribute nothing, so skipping them is exact, and at the common
     K=4 it halves the kernel's dominant VPU work (the per-candidate
-    obstacle distance/hinge evaluation in every cost/gradient pass)."""
+    obstacle distance/hinge evaluation in every cost/gradient pass).
+
+    ``dynamic_vmax`` adds a per-scenario velocity-cap input row
+    (``Problem.v_cap``) replacing the static ``max_velocity`` in the
+    velocity-envelope hinge — elementwise only, no extra matmuls. It is a
+    separate kernel variant so configs without a cap stay byte-identical
+    (and compile-cache-stable) with the round-3 kernel.
+
+    ``fold_sv`` stacks matmul pairs sharing an operand into single MXU
+    calls ([H3; Spm3; Svm3] @ dv in the CG matvec, [Spm3T | Svm3T] on the
+    gradient pullback, the rollout/line-search pos+vel pair, the Jacobi
+    diagonal pair) — exact same arithmetic, ~29 instead of ~68 matmul
+    issues per Newton round (the kernel is op-issue bound). Kept as a
+    variant flag: the round-3 full fold exploded Mosaic compile time
+    19 s -> 705 s, so it ships only if this formulation compiles sanely
+    (docs/kernel.md round-3/4 tables)."""
     if K_real is None:
         K_real = KP
     N = config.prediction_horizon
+    NP2 = G * NP1
     w = config.weights
     inv_m = 1.0 / config.mass
     pad_rows = NP1 - 3 * N
@@ -202,30 +228,35 @@ def _solver_kernel(
 
     mmc = mm_fast if fast_cg else mm  # CG-matvec precision
 
-    def kernel(
-        u_ref,
-        cpos_ref,
-        cvel_ref,
-        goal_ref,
-        obs_ref,
-        mask_ref,
-        H3_ref,
-        Spm3_ref,
-        Spm3T_ref,
-        Svm3_ref,
-        Svm3T_ref,
-        Sp2T_ref,
-        Sv2T_ref,
-        hover_ref,
-        lb_ref,
-        ub_ref,
-        gacc_ref,
-        wp_ref,
-        zrow_ref,
-        dq_ref,
-        out_ref,
-        imp_ref,
-    ):
+    def kernel(*refs):
+        if dynamic_vmax:
+            (
+                u_ref, cpos_ref, cvel_ref, goal_ref, obs_ref, mask_ref,
+                vmax_ref, *rest,
+            ) = refs
+        else:
+            (
+                u_ref, cpos_ref, cvel_ref, goal_ref, obs_ref, mask_ref,
+                *rest,
+            ) = refs
+            vmax_ref = None
+        if fold_sv:
+            (
+                H3_ref, Spm3_ref, Spm3T_ref, Svm3_ref, Svm3T_ref, Sp2T_ref,
+                Sv2T_ref, SpSv_ref, SpSvT_ref, Sq2T_ref, HSpSv_ref,
+                hover_ref, lb_ref, ub_ref, gacc_ref, wp_ref,
+                zrow_ref, dq_ref, out_ref, imp_ref,
+            ) = rest
+            SpSv = SpSv_ref[:]
+            SpSvT = SpSvT_ref[:]
+            Sq2T = Sq2T_ref[:]
+            HSpSv = HSpSv_ref[:]
+        else:
+            (
+                H3_ref, Spm3_ref, Spm3T_ref, Svm3_ref, Svm3T_ref, Sp2T_ref,
+                Sv2T_ref, hover_ref, lb_ref, ub_ref, gacc_ref, wp_ref,
+                zrow_ref, dq_ref, out_ref, imp_ref,
+            ) = rest
         C_pos = cpos_ref[:]
         C_vel = cvel_ref[:]
         goal = goal_ref[:]
@@ -266,9 +297,40 @@ def _solver_kernel(
                 [jnp.broadcast_to(s, (NP1, B)) for s in ss], axis=0
             )
 
+        if vmax_ref is not None:
+            # per-scenario velocity cap: one value per scenario, stored in
+            # an 8-sublane-aligned row block per group; broadcast to the
+            # NP1 state rows once (VPU, no matmuls)
+            vrow = vmax_ref[:]  # (G*8, B)
+            vmax_full = jnp.concatenate(
+                [
+                    jnp.broadcast_to(
+                        vrow[g * 8 : g * 8 + 1], (NP1, vrow.shape[1])
+                    )
+                    for g in range(G)
+                ],
+                axis=0,
+            )  # (NP2, B)
+        else:
+            vmax_full = v_max  # static scalar (closure constant)
+
+        def pv_map(uu, mmf):
+            """(Spm3 @ uu, Svm3 @ uu) — one stacked matmul when folded."""
+            if fold_sv:
+                pv = mmf(SpSv, uu)
+                return pv[:NP2], pv[NP2:]
+            return mmf(Spm3, uu), mmf(Svm3, uu)
+
+        def pullback(a, b, mmf):
+            """Spm3T @ a + Svm3T @ b — one stacked matmul when folded."""
+            if fold_sv:
+                return mmf(SpSvT, jnp.concatenate([a, b], axis=0))
+            return mmf(Spm3T, a) + mmf(Svm3T, b)
+
         def rollout(uu):
-            pos = C_pos + mm(Spm3, uu)
-            vel = C_vel + mm(Svm3, uu)
+            dp, dv_ = pv_map(uu, mm)
+            pos = C_pos + dp
+            vel = C_vel + dv_
             acc = uu * inv_m + g_rep
             return pos, vel, acc
 
@@ -348,7 +410,7 @@ def _solver_kernel(
                 gv = jnp.maximum(z_min - pos, 0.0) * zrow
                 D = D + w_g * gv * gv
             if use_vel_hinge:
-                vv = jnp.maximum(jnp.abs(vel) - v_max, 0.0)
+                vv = jnp.maximum(jnp.abs(vel) - vmax_full, 0.0)
                 D = D + w_vb * vv * vv
             J = gsum(D)
             if use_obstacles:
@@ -407,12 +469,13 @@ def _solver_kernel(
                 ]
             gvel = 2.0 * w.velocity * vel
             if use_vel_hinge:
-                vv = jnp.maximum(jnp.abs(vel) - v_max, 0.0)
+                vv = jnp.maximum(jnp.abs(vel) - vmax_full, 0.0)
                 gvel = gvel + (2.0 * w_vb) * jnp.sign(vel) * vv
-                hv = (2.0 * w_vb) * (jnp.abs(vel) > v_max).astype(u.dtype)
+                hv = (2.0 * w_vb) * (jnp.abs(vel) > vmax_full).astype(
+                    u.dtype
+                )
             grad = (
-                mm(Spm3T, gpos)
-                + mm(Svm3T, gvel)
+                pullback(gpos, gvel, mm)
                 + (2.0 * w.acceleration * inv_m) * acc
                 + (2.0 * w.thrust) * (u - hover)
             )
@@ -485,9 +548,14 @@ def _solver_kernel(
             diag = diag_quad + jnp.zeros_like(u)
             if use_penalties:
                 hp_diag = cat_groups([(h[0], h[1], h[2]) for h in gns])
-                diag = diag + mm(Sp2T, hp_diag)
-                if use_vel_hinge:
-                    diag = diag + mm(Sv2T, hv)
+                if use_vel_hinge and fold_sv:
+                    diag = diag + mm(
+                        Sq2T, jnp.concatenate([hp_diag, hv], axis=0)
+                    )
+                else:
+                    diag = diag + mm(Sp2T, hp_diag)
+                    if use_vel_hinge:
+                        diag = diag + mm(Sv2T, hv)
             if use_thrust_hinge:
                 diag = diag + cat_groups(tdiags)
             if full_curv:
@@ -508,9 +576,17 @@ def _solver_kernel(
 
             def matvec(dv):
                 dv = dv * free
-                out = mmc(H3, dv)
+                if fold_sv and use_penalties:
+                    # [H3; Spm3; Svm3] @ dv: one MXU issue for all three
+                    hy = mmc(HSpSv, dv)
+                    out = hy[:NP2]
+                    y = hy[NP2 : 2 * NP2]
+                    yv = hy[2 * NP2 :]
+                else:
+                    out = mmc(H3, dv)
+                    y = mmc(Spm3, dv) if use_penalties else None
+                    yv = None
                 if use_penalties:
-                    y = mmc(Spm3, dv)
                     zs = []
                     for g in range(G):
                         yx, yy_, yz = g_axes(y, g)
@@ -522,10 +598,12 @@ def _solver_kernel(
                                 hxz * yx + hyz * yy_ + hzz * yz,
                             )
                         )
-                    out = out + mmc(Spm3T, cat_groups(zs))
                     if use_vel_hinge:
-                        yv = mmc(Svm3, dv)
-                        out = out + mmc(Svm3T, hv * yv)
+                        if yv is None:
+                            yv = mmc(Svm3, dv)
+                        out = out + pullback(cat_groups(zs), hv * yv, mmc)
+                    else:
+                        out = out + mmc(Spm3T, cat_groups(zs))
                 if use_thrust_hinge:
                     ts = []
                     for g in range(G):
@@ -626,8 +704,9 @@ def _solver_kernel(
             for alpha in config.line_search_alphas:
                 cand = jnp.clip(u + alpha * d, lb, ub)
                 du_c = cand - u
-                pos_c = pos + mmc(Spm3, du_c)
-                vel_c = vel + mmc(Svm3, du_c)
+                dpos_c, dvel_c = pv_map(du_c, mmc)
+                pos_c = pos + dpos_c
+                vel_c = vel + dvel_c
                 acc_c = cand * inv_m + g_rep
                 cJ = cost_terms(pos_c, vel_c, acc_c, cand)
                 better = [cj < bc for cj, bc in zip(cJ, best_cost)]
@@ -698,7 +777,8 @@ def _unpack_rows(xt: Array, nb: int, G: int, Bb: int) -> Array:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "config", "use_obstacles", "block_b", "interpret", "fast_cg", "groups",
+        "config", "use_obstacles", "block_b", "interpret", "fast_cg",
+        "groups", "fold_sv",
     ),
 )
 def solve_thrusts_fused(
@@ -710,6 +790,7 @@ def solve_thrusts_fused(
     interpret: bool = False,
     fast_cg: bool = True,
     groups: int = 1,
+    fold_sv: bool = True,
 ) -> Array:
     """Run the fused solve; returns ``(thrusts, min_improvement)`` where
     thrusts has ``u_init``'s shape and min_improvement (batch-shaped) is
@@ -734,8 +815,13 @@ def solve_thrusts_fused(
     batch_shape = u_init.shape[:-2]
     B = int(np.prod(batch_shape, dtype=np.int64)) if batch_shape else 1
     # never pad a small batch up to a large block (single-solve fast path);
-    # cap lanes so G * block_b * NP1 state fits VMEM (~16 MB scoped limit)
-    block_b = min(block_b, _round_up(max(B, 1), 128), 1024 // G * 1)
+    # cap lanes so the kernel's live (NP2, block_b) f32 working set fits
+    # VMEM (~16 MB scoped limit). NP1=64 (N=20) at 1024 lanes is the
+    # measured fit (docs/kernel.md: block_b 2048 OOMs at 25 MB), so hold
+    # NP2 * block_b <= 64 * 1024 — N=40 (NP1=120) derates to 512 lanes,
+    # N=80 (NP1=240) to 256, preserving the proven VMEM headroom.
+    vmem_lanes = max(128, (65536 // (G * NP1)) // 128 * 128)
+    block_b = min(block_b, _round_up(max(B, 1), 128), vmem_lanes)
     SB = G * block_b  # scenarios per block
     B_pad = _round_up(max(B, 1), SB)
     nb = B_pad // SB
@@ -787,7 +873,15 @@ def solve_thrusts_fused(
         pk(obs_rows),
         pk(mask_rows),
     ]
+    dynamic_vmax = prob.v_cap is not None
+    if dynamic_vmax:
+        vcap_flat = flat(prob.v_cap, ())  # (B_pad,)
+        per_block.append(
+            pk(jnp.broadcast_to(vcap_flat[:, None], (B_pad, 8)))
+        )
     shared_names = ["H3", "Spm3", "Spm3T", "Svm3", "Svm3T", "Sp2T", "Sv2T"]
+    if fold_sv:
+        shared_names += ["SpSv", "SpSvT", "Sq2T", "HSpSv"]
     shared = [jnp.asarray(ops[k], dtype) for k in shared_names]
     vec_names = ["hover", "lb", "ub", "g_acc", "wp_row", "zrow", "diag_quad"]
     vecs = [jnp.asarray(ops[k], dtype) for k in vec_names]
@@ -802,12 +896,14 @@ def solve_thrusts_fused(
     in_specs = (
         [bspec(NP2)] * 4
         + [bspec(G * 4 * KP), bspec(G * KP)]
+        + ([bspec(G * 8)] if dynamic_vmax else [])
         + [const_spec(s.shape) for s in shared]
         + [const_spec((NP2, 1))] * len(vecs)
     )
 
     kernel = _solver_kernel(
-        config, use_obstacles, NP1, KP, G, fast_cg=fast_cg, K_real=K
+        config, use_obstacles, NP1, KP, G, fast_cg=fast_cg, K_real=K,
+        dynamic_vmax=dynamic_vmax, fold_sv=fold_sv,
     )
     IR = _round_up(G, 8)  # improvement rows, sublane-aligned
     u_out, imp_out = pl.pallas_call(

@@ -29,7 +29,12 @@ Array = jnp.ndarray
 class ClosedLoopConfig(NamedTuple):
     """Static episode configuration."""
 
-    mpc: se3_mpc.SE3MPCConfig = se3_mpc.SE3MPCConfig()
+    # tail refinement off in-loop: a 10 Hz replanning loop absorbs the
+    # per-solve convergence tail (the warm start carries progress across
+    # replans), so the adaptive phase-2 pass would spend ~15% more solve
+    # time for no measurable closed-loop quality gain. Per-solve API
+    # consumers get it via the SE3MPCConfig default.
+    mpc: se3_mpc.SE3MPCConfig = se3_mpc.SE3MPCConfig(tail_iterations=0)
     # thrust ceilings aligned with the planner's 25 N (the reference ships
     # mismatched defaults: planner 25 N, controller/sim 20 N)
     physics: phys.PhysicsConfig = phys.PhysicsConfig(max_thrust=25.0)
@@ -55,6 +60,22 @@ class ClosedLoopConfig(NamedTuple):
     # depth sensor; the pre-episode scans model the long-range survey.
     # 0.0 disables (pre-episode perception only).
     sense_radius: float = 0.0
+    # Unknown-space conservatism: cap planned speed while the vehicle is
+    # near corridor regions the mapper never observed (the reference
+    # surfaces unknown voxels as prior 0.5, EGM:154-169; the planner
+    # here additionally *acts* on the signal). Requires the
+    # ``corridor_observed`` argument of :func:`simulate_episode` (from
+    # ``worlds.perceive_worlds(corridor_samples=...)``). The cap ramps
+    # from ``unknown_speed_cap`` (fully inside/adjacent to unknown
+    # space) back to ``mpc.max_velocity`` over ``unknown_ramp`` metres
+    # beyond ``unknown_margin``. Rationale: dodging a sphere first seen
+    # at sense_radius=3 m needs ~0.6 s (lateral ~1.3 m at ~13 m/s^2 +
+    # a couple of 10 Hz replans), so speed through unscanned regions
+    # must stay ~<= 4-5 m/s. 0.0 disables.
+    unknown_speed_cap: float = 0.0
+    unknown_coverage: float = 0.5  # observed fraction below = unknown
+    unknown_margin: float = 1.0  # m: cap fully applies within this range
+    unknown_ramp: float = 3.0  # m: cap -> max_velocity over this range
 
 
 class EpisodeResult(NamedTuple):
@@ -78,6 +99,7 @@ def simulate_episode(
     method: str = "xla",
     true_obstacles: Optional[Array] = None,
     true_obstacle_mask: Optional[Array] = None,
+    corridor_observed: Optional[Array] = None,
 ) -> EpisodeResult:
     """Closed-loop episode(s): natively batched over any leading dims of
     ``state0``/``goal`` (also composes with vmap when ``method="xla"``).
@@ -91,7 +113,14 @@ def simulate_episode(
     the planner set without margin. Flying inside a true sphere marks
     the episode crashed (reference analog: the mapper feed,
     cloud/main_improved_threelayer.py:381-398, which only ever planned
-    against perceived voxels)."""
+    against perceived voxels).
+
+    ``corridor_observed`` (..., M): per-episode observed-fraction
+    profile along the start->goal corridor (from
+    ``worlds.perceive_worlds(corridor_samples=M)``). With
+    ``config.unknown_speed_cap`` > 0 the planner's per-scenario velocity
+    cap (``Problem.v_cap``) tightens near unknown corridor samples —
+    unknown space is no longer treated as free at full speed."""
     mpc = config.mpc
     dtype = state0.position.dtype
     batch_shape = state0.position.shape[:-1]
@@ -151,6 +180,21 @@ def simulate_episode(
             obstacle_mask, batch_shape + obstacle_mask.shape[-1:]
         )
 
+    # unknown-space speed cap: corridor sample points are derived from
+    # the episode's own start/goal (the geometry perceive_worlds probed)
+    use_vcap = (
+        config.unknown_speed_cap > 0.0 and corridor_observed is not None
+    )
+    if use_vcap:
+        M = corridor_observed.shape[-1]
+        tgrid = jnp.linspace(0.0, 1.0, M, dtype=dtype)
+        start0 = state0.position
+        corr_pts = (
+            start0[..., None, :]
+            + tgrid[:, None] * (goal - start0)[..., None, :]
+        )  # (..., M, 3)
+        corr_unknown = corridor_observed < config.unknown_coverage
+
     k_wind, k_noise = jax.random.split(key)
     wind = phys.sample_wind(
         k_wind, batch_shape, config.wind_mean, config.wind_std, dtype
@@ -174,6 +218,27 @@ def simulate_episode(
         noise = config.sensor_noise_std * jax.random.normal(
             kb, batch_shape + (6,), dtype
         )
+        v_cap = None
+        if use_vcap:
+            # distance to the nearest UNKNOWN corridor sample; the cap
+            # ramps from unknown_speed_cap (adjacent) to max_velocity
+            # (unknown_margin + unknown_ramp away). inf-safe: with no
+            # unknown samples the ramp clips to 1 -> cap = max_velocity.
+            d = jnp.linalg.norm(
+                rb.position[..., None, :] - corr_pts, axis=-1
+            )  # (..., M)
+            d_unk = jnp.min(
+                jnp.where(corr_unknown, d, jnp.inf), axis=-1
+            )
+            ramp = jnp.clip(
+                (d_unk - config.unknown_margin) / config.unknown_ramp,
+                0.0,
+                1.0,
+            )
+            v_cap = (
+                config.unknown_speed_cap
+                + (mpc.max_velocity - config.unknown_speed_cap) * ramp
+            ).astype(dtype)
         if use_sensing:
             gap = jnp.linalg.norm(
                 rb.position[..., None, :] - true_obstacles[..., :3], axis=-1
@@ -186,6 +251,7 @@ def simulate_episode(
                 goal=goal,
                 obstacles=plan_obs,
                 obstacle_mask=plan_mask,
+                v_cap=v_cap,
             )
         else:
             prob = costs.Problem(
@@ -194,6 +260,7 @@ def simulate_episode(
                 goal=goal,
                 obstacles=obstacles,
                 obstacle_mask=obstacle_mask,
+                v_cap=v_cap,
             )
         res = se3_mpc.solve(
             mpc, prob, se3_mpc.shift_warm_start(mpc, u_warm), method=method

@@ -23,6 +23,12 @@ def main():
     ap.add_argument("--passes", type=int, default=4)
     ap.add_argument("--block-b", type=int, default=1024)
     ap.add_argument("--obstacles", type=int, default=4)
+    ap.add_argument("--horizon", type=int, default=20)
+    ap.add_argument("--newton", type=int, default=12)
+    ap.add_argument("--tail-iters", type=int, default=None,
+                    help="override tail_iterations (default: config)")
+    ap.add_argument("--tail-cg", type=int, default=None)
+    ap.add_argument("--tail-capacity", type=float, default=None)
     args = ap.parse_args()
 
     import jax
@@ -34,7 +40,23 @@ def main():
 
     from dart_planner_tpu.planning import se3_mpc
 
-    config = se3_mpc.SE3MPCConfig()
+    config = se3_mpc.SE3MPCConfig(
+        prediction_horizon=args.horizon, max_iterations=args.newton
+    )
+    overrides = {}
+    if args.tail_iters is not None:
+        overrides["tail_iterations"] = args.tail_iters
+    if args.tail_cg is not None:
+        overrides["tail_cg_iterations"] = args.tail_cg
+    if args.tail_capacity is not None:
+        overrides["tail_capacity"] = args.tail_capacity
+    if overrides:
+        config = config._replace(**overrides)
+    print(
+        f"N={config.prediction_horizon} newton={config.max_iterations} "
+        f"tail={config.tail_iterations}@{config.tail_cg_iterations} "
+        f"cap={config.tail_capacity}"
+    )
     rng = np.random.default_rng(0)
     batch = args.batch
     obs = np.concatenate(

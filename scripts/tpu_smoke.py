@@ -84,6 +84,37 @@ def main() -> int:
     print(f"ok: fused solve kernel (N=20 full config) in {t1 - t0:.1f}s; "
           f"mean cost {cost.mean():.1f} (init {cost0.mean():.1f})")
 
+    # --- 1b. dynamic-vmax kernel variant (Problem.v_cap input row — the
+    # unknown-space speed cap path used by the closed-loop Monte Carlo)
+    import jax.numpy as jnp
+
+    try:
+        probc = prob._replace(v_cap=jnp.full((256,), 3.0, jnp.float32))
+        resc = se3_mpc.solve(config, probc, u0, method="fused",
+                             block_b=256)
+        costc = np.asarray(resc.cost)
+    except Exception as e:
+        print(f"FAIL: dynamic-vmax solve kernel did not compile/run: "
+              f"{e!r}"[:2000])
+        return 1
+    if not np.all(np.isfinite(costc)):
+        print("FAIL: dynamic-vmax solve produced non-finite costs")
+        return 1
+    # a 3 m/s cap on these scenarios must strictly bind somewhere
+    capped_speed = np.asarray(
+        jnp.max(jnp.abs(resc.velocities), axis=(-1, -2))
+    )
+    free_speed = np.asarray(jnp.max(jnp.abs(res.velocities), axis=(-1, -2)))
+    if not (capped_speed.max() < free_speed.max()):
+        print("FAIL: dynamic v_cap did not bind (max speed "
+              f"{capped_speed.max():.2f} vs uncapped {free_speed.max():.2f})")
+        return 1
+    t1b = time.time()
+    print(f"ok: dynamic-vmax solve kernel in {t1b - t1:.1f}s; "
+          f"max |v| {capped_speed.max():.2f} (uncapped "
+          f"{free_speed.max():.2f})")
+    t1 = t1b
+
     # --- 2. fused tick-block kernel via a tiny closed-loop episode batch
     # (also re-exercises the solve kernel at a second shape)
     from dart_planner_tpu.common.types import DroneState

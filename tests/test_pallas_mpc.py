@@ -12,9 +12,15 @@ import pytest
 
 from dart_planner_tpu.planning import se3_mpc
 
-# fast configuration for the interpreter (full config runs on TPU benches)
+# fast configuration for the interpreter (full config runs on TPU
+# benches). Tail refinement off: its compaction picks the worst
+# ceil(tail_capacity * B) scenarios per batch, so two-phase results are
+# deliberately batch-size dependent — the parity/padding contracts here
+# are about the CORE kernel (the two-phase pipeline gets its own tests
+# in test_se3_mpc.py).
 CFG = se3_mpc.SE3MPCConfig(
-    prediction_horizon=8, max_iterations=4, cg_iterations=10
+    prediction_horizon=8, max_iterations=4, cg_iterations=10,
+    tail_iterations=0,
 )
 
 
@@ -81,7 +87,9 @@ def test_obstacle_aggregate_quality(rng):
 def test_unbatched_and_shapes(rng):
     """Single unbatched scenario: (N, 3) in, (N, 3) out."""
     prob = _problem(rng, 1, CFG)
-    prob1 = type(prob)(*[np.asarray(x)[0] for x in prob])
+    prob1 = type(prob)(
+        *[None if x is None else np.asarray(x)[0] for x in prob]
+    )
     u0 = se3_mpc.initialize_thrusts(CFG, prob1)
     assert u0.shape == (CFG.prediction_horizon, 3)
     rf = se3_mpc.solve(CFG, prob1, u0, method="fused", block_b=8)
@@ -172,7 +180,9 @@ def test_block_padding_paths(rng):
     prob5 = _problem(rng, 5, CFG)
     u0 = se3_mpc.initialize_thrusts(CFG, prob5)
     r5 = se3_mpc.solve(CFG, prob5, u0, method="fused", block_b=4)
-    prob4 = type(prob5)(*[np.asarray(x)[:4] for x in prob5])
+    prob4 = type(prob5)(
+        *[None if x is None else np.asarray(x)[:4] for x in prob5]
+    )
     r4 = se3_mpc.solve(
         CFG, prob4, u0[:4], method="fused", block_b=4
     )
@@ -209,3 +219,87 @@ def test_full_curvature_stage_with_padding_rows(rng):
     )
     # pre-fix signature: fused cost sat ~4e-2 above XLA (stage-1-quality
     # iterates), which the rtol=1e-4 cost parity above fails loudly
+
+
+def test_dynamic_vcap_uniform_cap_matches_static_kernel():
+    """Problem.v_cap == max_velocity must reproduce the static-kernel
+    result EXACTLY on both paths (the dynamic-vmax kernel variant only
+    replaces a constant by an input row)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    prob = _problem(rng, 16, CFG)
+    vcap = jnp.full((16,), CFG.max_velocity, jnp.float32)
+    for method in ("xla", "fused"):
+        r0 = se3_mpc.solve(CFG, prob, method=method)
+        r1 = se3_mpc.solve(CFG, prob._replace(v_cap=vcap), method=method)
+        np.testing.assert_array_equal(
+            np.asarray(r0.thrusts), np.asarray(r1.thrusts)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(r0.converged), np.asarray(r1.converged)
+        )
+
+
+def test_dynamic_vcap_binds_and_paths_agree():
+    """A tight per-scenario cap lowers planned peak speed on both paths.
+    Tight caps make the velocity hinge strongly active, so individual
+    scenarios may branch at line-search near-ties (the documented
+    aggregate-parity contract — the same divergence appears with a
+    uniformly tight STATIC max_velocity); the paths must agree in
+    aggregate cost."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(8)
+    B = 16
+    prob = _problem(rng, B, CFG, with_obstacles=False)
+    vcap = jnp.asarray(rng.uniform(1.5, 3.0, (B,)).astype(np.float32))
+    probc = prob._replace(v_cap=vcap)
+    r_x = se3_mpc.solve(CFG, probc, method="xla", use_obstacles=False)
+    r_f = se3_mpc.solve(CFG, probc, method="fused", use_obstacles=False)
+    cx, cf = np.asarray(r_x.cost), np.asarray(r_f.cost)
+    assert np.mean(cf) <= np.mean(cx) * 1.05
+    assert np.mean(cx) <= np.mean(cf) * 1.05
+    # the hinge binds: capped plans are materially slower than uncapped
+    r_u = se3_mpc.solve(CFG, prob, method="xla", use_obstacles=False)
+    for r in (r_x, r_f):
+        sp_c = np.asarray(jnp.max(jnp.abs(r.velocities), axis=(1, 2)))
+        sp_u = np.asarray(jnp.max(jnp.abs(r_u.velocities), axis=(1, 2)))
+        fast = sp_u > np.asarray(vcap) + 1.0  # scenarios that wanted speed
+        assert fast.any()
+        assert np.all(sp_c[fast] < sp_u[fast])
+        # and peak speed respects the cap up to hinge softness
+        assert np.all(sp_c <= np.asarray(vcap) + 1.5)
+
+
+def test_generalizes_to_larger_horizon_and_obstacle_count():
+    """N=40 / K=16 (VERDICT round-3 item 7): NP1 grows to 120 rows (the
+    VMEM-fit logic auto-derates block_b) and the obstacle loops run 16
+    live spheres. Fused path must descend and match the XLA path's
+    aggregate cost at the same budget."""
+    rng = np.random.default_rng(21)
+    B = 8
+    cfg = se3_mpc.SE3MPCConfig(
+        prediction_horizon=40, max_iterations=3, cg_iterations=8,
+        max_obstacles=16, tail_iterations=0,
+    )
+    obs = np.concatenate(
+        [rng.normal(0, 5, (B, 16, 3)), rng.uniform(0.3, 1.0, (B, 16, 1))],
+        axis=-1,
+    ).astype(np.float32)
+    prob = se3_mpc.make_problem(
+        rng.normal(0, 2, (B, 3)).astype(np.float32) + [0, 0, 6],
+        rng.normal(0, 1, (B, 3)).astype(np.float32),
+        rng.normal(0, 6, (B, 3)).astype(np.float32) + [0, 0, 6],
+        obstacles=obs,
+        config=cfg,
+    )
+    u0 = se3_mpc.initialize_thrusts(cfg, prob)
+    rx = se3_mpc.solve(cfg, prob, u0, method="xla")
+    rf = se3_mpc.solve(cfg, prob, u0, method="fused", block_b=1024)
+    cx, cf = np.asarray(rx.cost), np.asarray(rf.cost)
+    c0 = np.asarray(se3_mpc._finalize(cfg, prob, u0).cost)
+    assert np.all(np.isfinite(cf))
+    assert np.all(cf <= c0 + 1e-3)  # every scenario descends
+    assert np.mean(cf) <= np.mean(cx) * 1.05
+    assert np.mean(cx) <= np.mean(cf) * 1.05
