@@ -140,6 +140,13 @@ def main():
     mc_cfg = ClosedLoopConfig(
         wind_mean=1.0, wind_std=0.5, sensor_noise_std=0.02,
         sense_radius=3.0,  # in-flight proximity sensing (10 Hz refresh)
+        # unknown-space conservatism: cap planned speed to 2 m/s near
+        # corridor regions the pre-flight scans never observed (ramping
+        # back to max_velocity 3 m beyond a 1 m margin). Dodging a
+        # sphere first sensed at 3 m needs ~0.6 s; at 2 m/s that is
+        # ~1.2 m of travel. Measured (scripts/diag_unknown.py, 2048
+        # episodes): crash 0.0107 -> 0.0049, success 0.9546 -> 0.9644.
+        unknown_speed_cap=2.0,
     )
     wc = WorldConfig()
     mc_n = 2048
@@ -157,16 +164,17 @@ def main():
         k_fleet, mc_n, start, goal
     )
     tobs, tmask = sample_worlds(wc, k_world, mc_n, states.position, goals)
-    pobs, pmask = perceive_worlds(
+    pobs, pmask, corridor_cov = perceive_worlds(
         wc, tobs, tmask, states.position, goals,
         max_obstacles=mc_cfg.mpc.max_obstacles,
+        corridor_samples=wc.corridor_samples,
     )
 
     def run_mc():
         return closed_loop.simulate_episode(
             mc_cfg, ep_key, states, goals, obstacles=pobs,
             obstacle_mask=pmask, method="auto", true_obstacles=tobs,
-            true_obstacle_mask=tmask,
+            true_obstacle_mask=tmask, corridor_observed=corridor_cov,
         )
 
     res = run_mc()  # compile

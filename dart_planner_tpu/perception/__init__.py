@@ -13,6 +13,8 @@ from dart_planner_tpu.perception.mapper import (
     create_map,
     update_with_scan,
     query_occupancy,
+    query_observed,
+    corridor_observed_fraction,
     is_trajectory_safe,
     local_occupancy_grid,
     extract_obstacles,
@@ -26,6 +28,8 @@ __all__ = [
     "create_map",
     "update_with_scan",
     "query_occupancy",
+    "query_observed",
+    "corridor_observed_fraction",
     "is_trajectory_safe",
     "local_occupancy_grid",
     "extract_obstacles",

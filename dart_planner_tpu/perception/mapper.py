@@ -163,6 +163,57 @@ def query_occupancy(
     return jax.nn.sigmoid(lo)
 
 
+@functools.partial(jax.jit, static_argnames=("config",))
+def query_observed(
+    config: MapperConfig,
+    vmap_state: VoxelMap,
+    positions: Array,
+    eps: float = 1e-6,
+) -> Array:
+    """True where the voxel holding ``positions`` has ever been observed.
+
+    The unknown-space signal the reference surfaces through its prior-0.5
+    occupancy for never-seen voxels (EGM:154-169) and this mapper's
+    occupancy query also returns — but a 0.5 is indistinguishable from a
+    genuinely uncertain observed cell, so consumers that must treat
+    unknown space conservatively (speed caps through unscanned corridor
+    regions) get the explicit boolean: |log-odds| > eps and in-bounds.
+    Out-of-grid counts as unobserved."""
+    idx = world_to_voxel(config, positions)
+    flat, inb = _flat_index(config, idx)
+    lo = vmap_state.log_odds.reshape(-1)[jnp.where(inb, flat, 0)]
+    return inb & (jnp.abs(lo) > eps)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "num_samples"))
+def corridor_observed_fraction(
+    config: MapperConfig,
+    vmap_state: VoxelMap,
+    start: Array,  # (3,)
+    goal: Array,  # (3,)
+    num_samples: int = 24,
+    probe_radius: float = 0.75,
+) -> Array:
+    """Observed fraction along the start->goal corridor: (num_samples,).
+
+    Each corridor sample probes its voxel plus 6 cardinal neighbours at
+    ``probe_radius`` (the ``is_trajectory_safe`` probe pattern,
+    EGM:338-351) and reports the fraction of probes that have ever been
+    observed. 1.0 = the surrounding tube was scanned (a sphere there
+    would have been seen); ~0 = the region is terra incognita and a
+    corridor-blocking sphere could be hiding in it."""
+    dtype = jnp.asarray(start).dtype
+    t = jnp.linspace(0.0, 1.0, num_samples, dtype=dtype)
+    pts = start + t[:, None] * (goal - start)  # (M, 3)
+    eye = jnp.eye(3, dtype=dtype) * probe_radius
+    offsets = jnp.concatenate(
+        [jnp.zeros((1, 3), dtype), eye, -eye], axis=0
+    )  # (7, 3)
+    probes = pts[:, None, :] + offsets  # (M, 7, 3)
+    seen = query_observed(config, vmap_state, probes)
+    return jnp.mean(seen.astype(dtype), axis=-1)
+
+
 @functools.partial(
     jax.jit, static_argnames=("config",)
 )

@@ -61,6 +61,10 @@ class WorldConfig(NamedTuple):
     # nearest-K (which starves every blob but the closest)
     suppression_radius: float = 1.0
     perceive_chunk: int = 256  # episodes per lax.map chunk
+    # corridor coverage profile resolution (mapper.corridor_observed_
+    # fraction samples along start->goal); consumed by the closed loop's
+    # unknown-space speed cap. 0 disables the extra output.
+    corridor_samples: int = 24
 
 
 @functools.partial(jax.jit, static_argnames=("config", "n"))
@@ -123,7 +127,7 @@ def sample_worlds(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("config", "max_obstacles")
+    jax.jit, static_argnames=("config", "max_obstacles", "corridor_samples")
 )
 def _perceive_one(
     config: WorldConfig,
@@ -132,8 +136,15 @@ def _perceive_one(
     start: Array,  # (3,)
     goal: Array,  # (3,)
     max_obstacles: int,
-) -> tuple[Array, Array]:
-    """One episode's perception: scans -> log-odds map -> top-K obstacles."""
+    corridor_samples: int = 0,
+) -> tuple:
+    """One episode's perception: scans -> log-odds map -> top-K obstacles.
+
+    With ``corridor_samples`` > 0, also returns the per-sample observed
+    fraction along the start->goal corridor
+    (:func:`~dart_planner_tpu.perception.mapper.corridor_observed_fraction`)
+    — the unknown-space signal the closed loop uses to cap speed through
+    unscanned regions."""
     mc = config.mapper
     vm = gm.create_map(mc, dtype=true_obs.dtype)
     for i in range(config.scan_points):
@@ -150,11 +161,17 @@ def _perceive_one(
     # Window centered on the corridor MIDPOINT (the 32-cell window spans
     # only ±8 m; centering on `start` loses spheres past ~10.7 m on long
     # corridors), ranking by the full start->goal flight segment.
-    return gm.extract_obstacles(
+    obs, mask = gm.extract_obstacles(
         mc, vm, 0.5 * (start + goal), max_obstacles=max_obstacles,
         suppression_radius=config.suppression_radius, toward=goal,
         seg_start=start,
     )
+    if corridor_samples:
+        frac_obs = gm.corridor_observed_fraction(
+            mc, vm, start, goal, num_samples=corridor_samples
+        )
+        return obs, mask, frac_obs
+    return obs, mask
 
 
 def perceive_worlds(
@@ -164,8 +181,13 @@ def perceive_worlds(
     starts: Array,  # (n, 3) or (3,)
     goals: Array,  # (n, 3) or (3,)
     max_obstacles: int = 8,
-) -> tuple[Array, Array]:
+    corridor_samples: int = 0,
+) -> tuple:
     """Mapper-perceived obstacle sets for every episode: (n, Kp, 4) + mask.
+
+    With ``corridor_samples`` > 0, a third output (n, corridor_samples)
+    carries each episode's corridor observed-fraction profile (the
+    unknown-space signal for speed capping; see ``_perceive_one``).
 
     Chunked ``lax.map`` over a vmapped single-episode pipeline so only
     ``perceive_chunk`` dense voxel grids are alive at once (64x64x32 fp32
@@ -176,7 +198,10 @@ def perceive_worlds(
     goals = jnp.broadcast_to(goals, (n, 3)).astype(true_obs.dtype)
 
     fn = jax.vmap(
-        functools.partial(_perceive_one, config, max_obstacles=max_obstacles)
+        functools.partial(
+            _perceive_one, config, max_obstacles=max_obstacles,
+            corridor_samples=corridor_samples,
+        )
     )
     chunk = min(config.perceive_chunk, n)
     if n % chunk:  # pad to a whole number of chunks
@@ -191,7 +216,7 @@ def perceive_worlds(
         to, tm, s, g = args
         return fn(to, tm, s, g)
 
-    obs, mask = jax.lax.map(
+    out = jax.lax.map(
         body,
         (
             true_obs.reshape(m, chunk, *true_obs.shape[1:]),
@@ -200,11 +225,16 @@ def perceive_worlds(
             goals.reshape(m, chunk, 3),
         ),
     )
+    obs, mask = out[0], out[1]
     Kp = obs.shape[-2]
-    return (
+    result = (
         obs.reshape(m * chunk, Kp, 4)[:n],
         mask.reshape(m * chunk, Kp)[:n],
     )
+    if corridor_samples:
+        frac_obs = out[2].reshape(m * chunk, corridor_samples)[:n]
+        result = result + (frac_obs,)
+    return result
 
 
 def monte_carlo_with_worlds(
@@ -233,13 +263,22 @@ def monte_carlo_with_worlds(
     tobs, tmask = sample_worlds(
         world_config, k_world, num_episodes, states.position, goals
     )
-    pobs, pmask = perceive_worlds(
+    want_corridor = (
+        loop_config.unknown_speed_cap > 0.0
+        and world_config.corridor_samples > 0
+    )
+    perceived = perceive_worlds(
         world_config, tobs, tmask, states.position, goals,
         max_obstacles=loop_config.mpc.max_obstacles,
+        corridor_samples=(
+            world_config.corridor_samples if want_corridor else 0
+        ),
     )
+    pobs, pmask = perceived[0], perceived[1]
+    corridor_observed = perceived[2] if want_corridor else None
     res = closed_loop.simulate_episode(
         loop_config, ep_key, states, goals, obstacles=pobs,
         obstacle_mask=pmask, method=method, true_obstacles=tobs,
-        true_obstacle_mask=tmask,
+        true_obstacle_mask=tmask, corridor_observed=corridor_observed,
     )
     return res, (tobs, tmask), (pobs, pmask)

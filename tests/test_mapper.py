@@ -104,3 +104,56 @@ def test_batched_maps_vmap():
         lambda mm: query_occupancy(config, mm, jnp.asarray([4.0, 0.0, 1.0]))
     )(maps2)
     assert (np.asarray(occ) > 0.5).all()
+
+
+def test_query_observed_distinguishes_unknown_from_uncertain():
+    """query_observed exposes the unknown-space signal the reference
+    surfaces as prior 0.5 (EGM:154-169): a never-seen voxel and an
+    out-of-grid point are unobserved; any scanned voxel is observed even
+    if its occupancy is near 0.5."""
+    from dart_planner_tpu.perception import query_observed
+
+    m = GeometricMapper()
+    origin = np.array([0.0, 0.0, 5.0])
+    direction = np.array([1.0, 0.0, 0.0])
+    m.update_map(origin[None], direction[None], np.array([10.0]))
+    pts = jnp.asarray(
+        [
+            [5.0, 0.0, 5.0],  # on the ray: observed (free)
+            [10.0, 0.0, 5.0],  # hit cell: observed (occupied)
+            [5.0, 20.0, 5.0],  # never scanned: unknown
+            [1e4, 0.0, 5.0],  # out of grid: unknown
+        ]
+    )
+    seen = np.asarray(query_observed(m.config, m.map, pts))
+    assert seen.tolist() == [True, True, False, False]
+
+
+def test_corridor_observed_fraction_profiles_scan_coverage():
+    """Corridor samples inside the scanned region report high observed
+    fraction; samples beyond the scan walk report ~0."""
+    from dart_planner_tpu.perception import corridor_observed_fraction
+
+    # short-range sensor so the corridor tail stays genuinely unscanned
+    cfg = MapperConfig(
+        resolution=0.5, grid_size=(64, 64, 32), origin=(-16.0, -16.0, -4.0),
+        max_range=3.0,
+    )
+    vm = create_map(cfg)
+    # scans around the first quarter of the corridor only
+    start = jnp.asarray([0.0, 0.0, 3.0])
+    goal = jnp.asarray([10.0, 0.0, 3.0])
+    no_obs = jnp.zeros((1, 4), jnp.float32)
+    no_mask = jnp.zeros((1,), bool)
+    for frac in (0.0, 0.25):
+        for dz in (-0.5, 0.0, 0.5):
+            pos = start + frac * (goal - start) + jnp.asarray([0, 0, dz])
+            o, d, hd = simulate_lidar_scan(cfg, pos, no_obs, no_mask, 360)
+            vm = update_with_scan(cfg, vm, o, d, hd)
+    frac_obs = np.asarray(
+        corridor_observed_fraction(cfg, vm, start, goal, num_samples=10)
+    )
+    # scanned head of the corridor observed; unscanned tail unknown
+    assert frac_obs[:3].min() > 0.6
+    assert frac_obs[-2:].max() < 0.3
+    assert frac_obs[0] > frac_obs[-1]
