@@ -245,7 +245,8 @@ def _solver_kernel(
                 H3_ref, Spm3_ref, Spm3T_ref, Svm3_ref, Svm3T_ref, Sp2T_ref,
                 Sv2T_ref, SpSv_ref, SpSvT_ref, Sq2T_ref, HSpSv_ref,
                 hover_ref, lb_ref, ub_ref, gacc_ref, wp_ref,
-                zrow_ref, dq_ref, out_ref, imp_ref,
+                zrow_ref, dq_ref, out_ref, pos_ref, vel_ref, imp_ref,
+                cost_ref,
             ) = rest
             SpSv = SpSv_ref[:]
             SpSvT = SpSvT_ref[:]
@@ -255,7 +256,8 @@ def _solver_kernel(
             (
                 H3_ref, Spm3_ref, Spm3T_ref, Svm3_ref, Svm3T_ref, Sp2T_ref,
                 Sv2T_ref, hover_ref, lb_ref, ub_ref, gacc_ref, wp_ref,
-                zrow_ref, dq_ref, out_ref, imp_ref,
+                zrow_ref, dq_ref, out_ref, pos_ref, vel_ref, imp_ref,
+                cost_ref,
             ) = rest
         C_pos = cpos_ref[:]
         C_vel = cvel_ref[:]
@@ -748,8 +750,18 @@ def _solver_kernel(
             u, imp = jax.lax.fori_loop(
                 0, rest, make_newton_body(True), (u, imp0)
             )
+        # final EXACT rollout + cost in-kernel (fp32 HIGHEST path, not
+        # the bf16 delta-form line-search estimates): emitting
+        # (pos, vel, cost) saves the host-side finalize a rollout and a
+        # full cost evaluation — dozens of launch-bound XLA kernels per
+        # solve that dominated the two-phase pipeline's fixed cost.
+        pos_f, vel_f, acc_f = rollout(u)
+        J_f = jnp.concatenate(cost_terms(pos_f, vel_f, acc_f, u), axis=0)
         out_ref[:] = u
+        pos_ref[:] = pos_f
+        vel_ref[:] = vel_f
         imp_ref[:] = jnp.pad(imp, ((0, imp_ref.shape[0] - G), (0, 0)))
+        cost_ref[:] = jnp.pad(J_f, ((0, cost_ref.shape[0] - G), (0, 0)))
 
     return kernel
 
@@ -791,11 +803,17 @@ def solve_thrusts_fused(
     fast_cg: bool = True,
     groups: int = 1,
     fold_sv: bool = True,
-) -> Array:
-    """Run the fused solve; returns ``(thrusts, min_improvement)`` where
-    thrusts has ``u_init``'s shape and min_improvement (batch-shaped) is
-    the final Newton round's realized relative cost decrease (the ftol
-    convergence-criterion input, matching the XLA path).
+) -> tuple:
+    """Run the fused solve; returns ``(thrusts, min_improvement,
+    positions, velocities, cost)``: thrusts/positions/velocities have
+    ``u_init``'s shape, min_improvement and cost are batch-shaped.
+    min_improvement is the minimum realized relative cost decrease over
+    the final Newton stage (the ftol convergence-criterion input,
+    matching the XLA path); positions/velocities/cost come from an EXACT
+    in-kernel fp32 rollout + cost pass of the final iterate, so the
+    host-side finalize needs no further math (the post-kernel XLA
+    rollout/cost passes were launch-bound and dominated the two-phase
+    solve's fixed overhead).
 
     Accepts any leading batch shape (flattened internally); the scenario
     batch is padded to a multiple of ``groups * block_b`` and blocked
@@ -905,23 +923,35 @@ def solve_thrusts_fused(
         config, use_obstacles, NP1, KP, G, fast_cg=fast_cg, K_real=K,
         dynamic_vmax=dynamic_vmax, fold_sv=fold_sv,
     )
-    IR = _round_up(G, 8)  # improvement rows, sublane-aligned
-    u_out, imp_out = pl.pallas_call(
+    IR = _round_up(G, 8)  # improvement/cost rows, sublane-aligned
+    u_out, pos_out, vel_out, imp_out, cost_out = pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((NP2, L), dtype),
+            jax.ShapeDtypeStruct((NP2, L), dtype),
+            jax.ShapeDtypeStruct((NP2, L), dtype),
+            jax.ShapeDtypeStruct((IR, L), dtype),
             jax.ShapeDtypeStruct((IR, L), dtype),
         ),
         grid=grid,
         in_specs=in_specs,
-        out_specs=(bspec(NP2), bspec(IR)),
+        out_specs=(bspec(NP2), bspec(NP2), bspec(NP2), bspec(IR), bspec(IR)),
         interpret=interpret,
     )(*per_block, *shared, *vecs)
 
-    rows = _unpack_rows(u_out, nb, G, block_b)[:B, : 3 * N]  # (B, 3N)
-    u_final = jnp.transpose(rows.reshape(B, 3, N), (0, 2, 1))
-    imp = _unpack_rows(imp_out[:G], nb, G, block_b)[:B, 0]  # (B,)
+    def unrows(xt):  # (NP2-rows, L) -> (..., N, 3)
+        rows = _unpack_rows(xt, nb, G, block_b)[:B, : 3 * N]  # (B, 3N)
+        out = jnp.transpose(rows.reshape(B, 3, N), (0, 2, 1))
+        return out.reshape(batch_shape + (N, 3)).astype(u_init.dtype)
+
+    def unscalar(xt):  # (IR-rows, L) -> (...,)
+        v = _unpack_rows(xt[:G], nb, G, block_b)[:B, 0]  # (B,)
+        return v.reshape(batch_shape).astype(u_init.dtype)
+
     return (
-        u_final.reshape(batch_shape + (N, 3)).astype(u_init.dtype),
-        imp.reshape(batch_shape).astype(u_init.dtype),
+        unrows(u_out),
+        unscalar(imp_out),
+        unrows(pos_out),
+        unrows(vel_out),
+        unscalar(cost_out),
     )

@@ -154,11 +154,11 @@ def test_group_stacking_matches_ungrouped(rng):
     )
     probc = _problem(rng, 6, convex, with_obstacles=False)
     u0 = se3_mpc.initialize_thrusts(convex, probc)
-    u1, _ = pallas_mpc.solve_thrusts_fused(
+    u1, *_ = pallas_mpc.solve_thrusts_fused(
         convex, probc, u0, block_b=4, interpret=True, groups=1,
         use_obstacles=False,
     )
-    u2, _ = pallas_mpc.solve_thrusts_fused(
+    u2, *_ = pallas_mpc.solve_thrusts_fused(
         convex, probc, u0, block_b=4, interpret=True, groups=2,
         use_obstacles=False,
     )
@@ -166,10 +166,10 @@ def test_group_stacking_matches_ungrouped(rng):
 
     prob = _problem(rng, 6, CFG)
     u0 = se3_mpc.initialize_thrusts(CFG, prob)
-    c1 = np.asarray(se3_mpc._finalize(CFG, prob, *pallas_mpc.solve_thrusts_fused(
-        CFG, prob, u0, block_b=4, interpret=True, groups=1)).cost)
-    c2 = np.asarray(se3_mpc._finalize(CFG, prob, *pallas_mpc.solve_thrusts_fused(
-        CFG, prob, u0, block_b=4, interpret=True, groups=2)).cost)
+    c1 = np.asarray(pallas_mpc.solve_thrusts_fused(
+        CFG, prob, u0, block_b=4, interpret=True, groups=1)[4])
+    c2 = np.asarray(pallas_mpc.solve_thrusts_fused(
+        CFG, prob, u0, block_b=4, interpret=True, groups=2)[4])
     assert np.mean(c2) <= np.mean(c1) * 1.05
     assert np.mean(c1) <= np.mean(c2) * 1.05
 
