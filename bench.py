@@ -30,9 +30,17 @@ def main():
     import jax
 
     # persistent compile cache shared with scripts/tpu_smoke.py — the
-    # full-config fused kernel takes minutes to compile cold
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/jax_comp_cache"))
+    # full-config fused kernel takes minutes to compile cold. Seed it
+    # from the repo-shipped entries first (fresh-container case).
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "scripts"))
+    from tpu_smoke import _seed_compile_cache
+
+    cache_dir = os.path.expanduser("~/.cache/jax_comp_cache")
+    _seed_compile_cache(cache_dir)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from dart_planner_tpu.planning import se3_mpc

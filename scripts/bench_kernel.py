@@ -41,7 +41,8 @@ def main():
     from dart_planner_tpu.planning import se3_mpc
 
     config = se3_mpc.SE3MPCConfig(
-        prediction_horizon=args.horizon, max_iterations=args.newton
+        prediction_horizon=args.horizon, max_iterations=args.newton,
+        max_obstacles=max(8, args.obstacles),
     )
     overrides = {}
     if args.tail_iters is not None:
