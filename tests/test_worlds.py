@@ -133,3 +133,33 @@ def test_no_obstacles_reports_inf_clearance():
     key = jax.random.PRNGKey(0)
     r = monte_carlo(FAST, key, 2, START, GOAL, method="xla")
     assert float(jnp.min(r.min_obstacle_clearance)) > 1e29
+
+
+def test_corridor_coverage_pipeline_and_speed_cap():
+    """perceive_worlds(corridor_samples=M) emits a sane coverage profile
+    (scanned corridors mostly observed; values in [0,1]) and the full
+    monte_carlo_with_worlds pipeline runs with the unknown-space speed
+    cap enabled — unknown-adjacent episodes plan under a tightened
+    per-scenario velocity cap (Problem.v_cap), everything else is
+    bit-compatible plumbing."""
+    from dart_planner_tpu.sim.worlds import monte_carlo_with_worlds
+
+    wc = WorldConfig(perceive_chunk=4, corridor_samples=12)
+    n = 4
+    key = jax.random.PRNGKey(5)
+    tobs, tmask = sample_worlds(wc, key, n, START, GOAL)
+    pobs, pmask, cov = perceive_worlds(
+        wc, tobs, tmask, START, GOAL, max_obstacles=8, corridor_samples=12
+    )
+    cov = np.asarray(cov)
+    assert cov.shape == (n, 12)
+    assert (cov >= 0.0).all() and (cov <= 1.0).all()
+    # the scan walk covers the corridor: its average coverage is real
+    assert cov.mean() > 0.3
+
+    capped = FAST._replace(unknown_speed_cap=2.0)
+    res, _, _ = monte_carlo_with_worlds(
+        capped, wc, key, n, START, GOAL, method="xla"
+    )
+    assert np.isfinite(np.asarray(res.final_distance)).all()
+    assert np.asarray(res.tracking_rmse).max() < 1.0
