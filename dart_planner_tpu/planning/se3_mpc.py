@@ -685,18 +685,20 @@ def _tail_refine(
 
     prob_f = costs.Problem(*[flat(x) for x in prob])
     res_f = SolveResult(*[flat(x) for x in res])
-    # unconverged first via a stable PARTITION (two prefix sums + one
-    # scatter) — a full argsort costs ~0.1 ms of bitonic passes on TPU
-    # for 4096 lanes, pure glue on the hot path
+    # unconverged first via a stable PARTITION (two prefix sums) — a
+    # full argsort costs ~0.1 ms of bitonic passes on TPU for 4096
+    # lanes, pure glue on the hot path
     unconv = (~res_f.converged).astype(jnp.int32)
     rank_u = jnp.cumsum(unconv) - 1
     n_unconv = rank_u[-1] + 1
     rank_c = jnp.cumsum(1 - unconv) - 1
     slot = jnp.where(unconv == 1, rank_u, n_unconv + rank_c)  # permutation
-    idx_full = jnp.zeros((B,), slot.dtype).at[slot].set(
+    # invert the permutation for the first C slots (one small int32
+    # scatter; the value merges below are all GATHERS — TPU scatters of
+    # the big state arrays cost ~0.1 ms each and dominated the glue)
+    idx = jnp.zeros((B,), slot.dtype).at[slot].set(
         jnp.arange(B, dtype=slot.dtype)
-    )
-    idx = idx_full[:C]
+    )[:C]
 
     take = lambda x: None if x is None else x[idx]  # noqa: E731
     prob_t = costs.Problem(*[take(x) for x in prob_f])
@@ -714,27 +716,31 @@ def _tail_refine(
     )
     ok = ref.cost <= res_f.cost[idx]
 
-    def put(field, new):
+    # scatter-free merge: scenario i was refined iff its partition slot
+    # is within capacity; read the refined value back with a gather
+    safe_slot = jnp.minimum(slot, C - 1)
+    use_new = (slot < C) & ok[safe_slot]  # (B,)
+
+    def merge(field, new):
         old = getattr(res_f, field)
         if old is None or new is None:
             return old
-        sel = ok.reshape(ok.shape + (1,) * (new.ndim - ok.ndim))
-        return old.at[idx].set(jnp.where(sel, new, old[idx]))
+        sel = use_new.reshape(use_new.shape + (1,) * (new.ndim - 1))
+        return jnp.where(sel, new[safe_slot], old)
 
     out = SolveResult(
-        thrusts=put("thrusts", ref.thrusts),
-        positions=put("positions", ref.positions),
-        velocities=put("velocities", ref.velocities),
-        accelerations=put("accelerations", ref.accelerations),
-        cost=put("cost", ref.cost),
-        converged=res_f.converged.at[idx].set(
-            res_f.converged[idx] | (ok & ref.converged)
-        ),
+        thrusts=merge("thrusts", ref.thrusts),
+        positions=merge("positions", ref.positions),
+        velocities=merge("velocities", ref.velocities),
+        accelerations=merge("accelerations", ref.accelerations),
+        cost=merge("cost", ref.cost),
+        converged=res_f.converged
+        | (use_new & ref.converged[safe_slot]),
         # grad_norm keeps the phase-1 diagnostic for refined scenarios
         # (with_grad=False above skips the AD pass; the value is not part
         # of the ftol convergence criterion)
         grad_norm=res_f.grad_norm,
-        min_improvement=put("min_improvement", ref.min_improvement),
+        min_improvement=merge("min_improvement", ref.min_improvement),
     )
     return SolveResult(
         *[
