@@ -834,11 +834,13 @@ def solve_thrusts_fused(
     B = int(np.prod(batch_shape, dtype=np.int64)) if batch_shape else 1
     # never pad a small batch up to a large block (single-solve fast path);
     # cap lanes so the kernel's live (NP2, block_b) f32 working set fits
-    # VMEM (~16 MB scoped limit). NP1=64 (N=20) at 1024 lanes is the
-    # measured fit (docs/kernel.md: block_b 2048 OOMs at 25 MB), so hold
-    # NP2 * block_b <= 64 * 1024 — N=40 (NP1=120) derates to 512 lanes,
-    # N=80 (NP1=240) to 256, preserving the proven VMEM headroom.
-    vmem_lanes = max(128, (65536 // (G * NP1)) // 128 * 128)
+    # VMEM (~16 MB scoped limit). NP1=64 (N=20), KP=8 at 1024 lanes is
+    # the measured fit (docs/kernel.md: block_b 2048 OOMs at 25 MB;
+    # K=16 at 1024 lanes OOMs at 21.2 MB), so hold
+    # NP2 * max(KP,8)/8 * block_b <= 64 * 1024 — N=40 derates to 512
+    # lanes, K=16 to 512, N=80 to 256, preserving the proven headroom.
+    eff_rows = G * NP1 * max(KP, 8) // 8
+    vmem_lanes = max(128, (65536 // eff_rows) // 128 * 128)
     block_b = min(block_b, _round_up(max(B, 1), 128), vmem_lanes)
     SB = G * block_b  # scenarios per block
     B_pad = _round_up(max(B, 1), SB)
