@@ -91,11 +91,42 @@ def main():
         return best, rtt_best
 
     # --- batched throughput, 4096 scenarios ---
+    # headline = the SHIPPING two-phase config (12 Newton rounds + the
+    # adaptive tail-refinement pass that takes per-solve convergence
+    # 0.75 -> 0.96, docs/quality.md). The single-phase rate (identical
+    # kernel, tail_iterations=0 — the round-3 semantics) is reported
+    # alongside: the tail pass is a quality/throughput CONFIG choice,
+    # and the gap is its honest price.
     batch = 4096
     prob = jax.device_put(problem(batch))
     u0 = se3_mpc.initialize_thrusts(config, prob)
     per_call, rtt = timed_chain(prob, u0, reps=30)
     solves_per_s = batch / per_call
+
+    config_p1 = config._replace(tail_iterations=0)
+
+    def solve_p1(prob_, u):
+        return se3_mpc.solve(config_p1, prob_, u, block_b=1024)
+
+    def timed_chain_p1(prob_, u0_, reps, passes=3):
+        best = float("inf")
+        u = solve_p1(prob_, u0_).thrusts
+        _fetch(u[..., 0, 0].sum())
+        for _ in range(passes):
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                u = solve_p1(prob_, u).thrusts
+            _fetch(u[..., 0, 0].sum())
+            total = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            _fetch(u[..., 0, 0].sum())
+            best = min(
+                best, max(total - (time.perf_counter() - t0), 1e-9) / reps
+            )
+        return best
+
+    per_call_p1 = timed_chain_p1(prob, u0, reps=30)
+    phase1_solves_per_s = batch / per_call_p1
 
     # --- single-solve device latency ---
     prob1 = jax.device_put(problem(1))
@@ -228,6 +259,11 @@ def main():
                 "vs_baseline": round(solves_per_s / 1000.0, 3),
                 "single_solve_device_ms": round(lat_s * 1e3, 4),
                 "single_solve_budget_ms": 50.0,
+                # identical kernel with the adaptive tail pass off (the
+                # round-3 fixed-budget semantics): the headline value's
+                # gap to this is the measured price of taking per-solve
+                # convergence 0.75 -> 0.96 (docs/quality.md)
+                "phase1_solves_per_s": round(phase1_solves_per_s, 1),
                 "planner_to_actuator_p95_ms": round(
                     rt["planner_to_actuator_p95_ms"], 3
                 ),
