@@ -100,32 +100,46 @@ def main():
     batch = 4096
     prob = jax.device_put(problem(batch))
     u0 = se3_mpc.initialize_thrusts(config, prob)
-    per_call, rtt = timed_chain(prob, u0, reps=30)
-    solves_per_s = batch / per_call
 
+    # the two configs are timed with INTERLEAVED passes: the tunneled
+    # chip's throughput drifts ±20-30% over minutes (CLAUDE.md), so
+    # sequential sections can report the two-phase solve "faster" than
+    # its own phase 1 — interleaving shares the weather
     config_p1 = config._replace(tail_iterations=0)
 
     def solve_p1(prob_, u):
         return se3_mpc.solve(config_p1, prob_, u, block_b=1024)
 
-    def timed_chain_p1(prob_, u0_, reps, passes=3):
-        best = float("inf")
-        u = solve_p1(prob_, u0_).thrusts
+    def one_pass(fn, u, reps):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            u = fn(prob, u).thrusts
         _fetch(u[..., 0, 0].sum())
-        for _ in range(passes):
-            t0 = time.perf_counter()
-            for _ in range(reps):
-                u = solve_p1(prob_, u).thrusts
-            _fetch(u[..., 0, 0].sum())
-            total = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            _fetch(u[..., 0, 0].sum())
-            best = min(
-                best, max(total - (time.perf_counter() - t0), 1e-9) / reps
-            )
-        return best
+        total = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _fetch(u[..., 0, 0].sum())
+        rtt_s = time.perf_counter() - t0
+        return max(total - rtt_s, 1e-9) / reps, rtt_s, u
 
-    per_call_p1 = timed_chain_p1(prob, u0, reps=30)
+    u_ship = (lambda r: r.thrusts)(
+        se3_mpc.solve(config, prob, u0, block_b=1024)
+    )
+    _fetch(u_ship[..., 0, 0].sum())
+    u_p1 = solve_p1(prob, u0).thrusts
+    _fetch(u_p1[..., 0, 0].sum())
+    per_call = per_call_p1 = float("inf")
+    rtt = float("inf")
+    for _ in range(3):
+        t, r, u_ship = one_pass(
+            lambda p, u: se3_mpc.solve(config, p, u, block_b=1024),
+            u_ship, 30,
+        )
+        per_call = min(per_call, t)
+        rtt = min(rtt, r)
+        t, r, u_p1 = one_pass(solve_p1, u_p1, 30)
+        per_call_p1 = min(per_call_p1, t)
+        rtt = min(rtt, r)
+    solves_per_s = batch / per_call
     phase1_solves_per_s = batch / per_call_p1
 
     # --- single-solve device latency ---
