@@ -102,6 +102,10 @@ def _static_operands(config, G: int) -> dict:
     ops["SpSvT"] = np.hstack([ops["Spm3T"], ops["Svm3T"]])
     ops["Sq2T"] = np.hstack([ops["Sp2T"], ops["Sv2T"]])
     ops["HSpSv"] = np.vstack([ops["H3"], ops["SpSv"]])  # CG-matvec stack
+    # CG-matvec stack for configs WITHOUT a velocity hinge: the Svm3
+    # third of HSpSv would be dead work there (~1/3 of the dominant
+    # matvec matmul), so those configs ship the two-block stack instead
+    ops["HSp"] = np.vstack([ops["H3"], ops["Spm3"]])
 
     # per-scenario (NP1,) row constants, then tiled over the G groups
     def rows1(fn):
@@ -241,17 +245,21 @@ def _solver_kernel(
             ) = refs
             vmax_ref = None
         if fold_sv:
+            # fold operand set varies with the velocity hinge: with it,
+            # [SpSv, SpSvT, Sq2T, HSpSv]; without, [SpSv, SpSvT, HSp]
+            # (Sq2T and the Svm3 third of the matvec stack are only used
+            # by the hinge paths — dead VMEM + dead MXU work otherwise)
             (
                 H3_ref, Spm3_ref, Spm3T_ref, Svm3_ref, Svm3T_ref, Sp2T_ref,
-                Sv2T_ref, SpSv_ref, SpSvT_ref, Sq2T_ref, HSpSv_ref,
+                Sv2T_ref, *fold_refs,
                 hover_ref, lb_ref, ub_ref, gacc_ref, wp_ref,
                 zrow_ref, dq_ref, out_ref, pos_ref, vel_ref, imp_ref,
                 cost_ref,
             ) = rest
-            SpSv = SpSv_ref[:]
-            SpSvT = SpSvT_ref[:]
-            Sq2T = Sq2T_ref[:]
-            HSpSv = HSpSv_ref[:]
+            SpSv = fold_refs[0][:]
+            SpSvT = fold_refs[1][:]
+            Sq2T = fold_refs[2][:] if use_vel_hinge else None
+            HSpSv = fold_refs[-1][:]  # [H3; Spm3(; Svm3)] matvec stack
         else:
             (
                 H3_ref, Spm3_ref, Spm3T_ref, Svm3_ref, Svm3T_ref, Sp2T_ref,
@@ -579,11 +587,13 @@ def _solver_kernel(
             def matvec(dv):
                 dv = dv * free
                 if fold_sv and use_penalties:
-                    # [H3; Spm3; Svm3] @ dv: one MXU issue for all three
+                    # [H3; Spm3(; Svm3)] @ dv: one MXU issue for all of
+                    # them (the Svm3 third rides along only when the
+                    # velocity hinge will consume it)
                     hy = mmc(HSpSv, dv)
                     out = hy[:NP2]
                     y = hy[NP2 : 2 * NP2]
-                    yv = hy[2 * NP2 :]
+                    yv = hy[2 * NP2 :] if use_vel_hinge else None
                 else:
                     out = mmc(H3, dv)
                     y = mmc(Spm3, dv) if use_penalties else None
@@ -901,7 +911,12 @@ def solve_thrusts_fused(
         )
     shared_names = ["H3", "Spm3", "Spm3T", "Svm3", "Svm3T", "Sp2T", "Sv2T"]
     if fold_sv:
-        shared_names += ["SpSv", "SpSvT", "Sq2T", "HSpSv"]
+        # must mirror the kernel's use_vel_hinge (= w_vb > 0): without
+        # the hinge, ship the two-block matvec stack (HSp) and drop the
+        # hinge-only Sq2T — dead MXU work / dead VMEM otherwise
+        vel_hinge = float(config.weights.velocity_bound) > 0.0
+        shared_names += ["SpSv", "SpSvT"]
+        shared_names += ["Sq2T", "HSpSv"] if vel_hinge else ["HSp"]
     shared = [jnp.asarray(ops[k], dtype) for k in shared_names]
     vec_names = ["hover", "lb", "ub", "g_acc", "wp_row", "zrow", "diag_quad"]
     vecs = [jnp.asarray(ops[k], dtype) for k in vec_names]

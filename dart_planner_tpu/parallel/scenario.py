@@ -142,8 +142,12 @@ def solve_fleet(
         # is covered by tests/test_scaling.py mesh-invariance
         check_vma=False,
         in_specs=(
+            # spec tree must mirror the actual Problem structure:
+            # v_cap is an optional field (None unless the fleet carries
+            # per-scenario velocity caps, e.g. unknown-space slowdowns)
             costs.Problem(p0=spec, v0=spec, goal=spec, obstacles=spec,
-                          obstacle_mask=spec),
+                          obstacle_mask=spec,
+                          v_cap=None if prob.v_cap is None else spec),
             spec,
         ),
         out_specs=(

@@ -674,17 +674,41 @@ def _tail_refine(
     C = max(1, int(np.ceil(config.tail_capacity * B)))
     nb = len(batch_shape)
 
-    def flat(x):
-        """Flatten batch dims; fields without the batch prefix (shared
-        obstacle sets, scalar goals) broadcast to the full batch first."""
+    def flat(x, trailing):
+        """Flatten batch dims; shared fields (no batch prefix — shared
+        obstacle sets, a single goal point) broadcast to the full batch
+        first. Shared vs batched is decided by ndim against the field's
+        known trailing rank(s), NOT by shape-prefix equality: a shared
+        (3,) goal with a batch of exactly 3 scenarios, or shared (K, 4)
+        obstacles with K == B, must not be misread as batched. The one
+        genuinely ambiguous corner — a shared per-step (N, 3) goal with
+        nb == 1 and N == B — resolves to "batched" (prefix match)."""
         if x is None:
             return None
-        if x.shape[:nb] != batch_shape:
+        shared = any(x.ndim == t for t in trailing)
+        batched = any(x.ndim == t + nb for t in trailing)
+        if shared and batched:
+            batched = x.shape[:nb] == batch_shape
+            shared = not batched
+        if shared:
             x = jnp.broadcast_to(x, batch_shape + x.shape)
         return x.reshape((B,) + x.shape[nb:])
 
-    prob_f = costs.Problem(*[flat(x) for x in prob])
-    res_f = SolveResult(*[flat(x) for x in res])
+    prob_trailing = {
+        "p0": (1,), "v0": (1,), "goal": (1, 2),  # goal: point or per-step
+        "obstacles": (2,), "obstacle_mask": (1,), "v_cap": (0,),
+    }
+    res_trailing = {
+        "thrusts": (2,), "positions": (2,), "velocities": (2,),
+        "accelerations": (2,), "cost": (0,), "converged": (0,),
+        "grad_norm": (0,), "min_improvement": (0,),
+    }
+    prob_f = costs.Problem(
+        **{k: flat(getattr(prob, k), prob_trailing[k]) for k in prob._fields}
+    )
+    res_f = SolveResult(
+        **{k: flat(getattr(res, k), res_trailing[k]) for k in res._fields}
+    )
     # unconverged first via a stable PARTITION (two prefix sums) — a
     # full argsort costs ~0.1 ms of bitonic passes on TPU for 4096
     # lanes, pure glue on the hot path

@@ -22,9 +22,12 @@ def main():
     ap.add_argument("--episodes", type=int, default=2048)
     ap.add_argument("--caps", type=str, default="0,5,4,3")
     ap.add_argument("--method", type=str, default="auto")
-    ap.add_argument("--margin", type=float, default=1.0)
+    # defaults = the SHIPPED ClosedLoopConfig values (margin 1.5,
+    # coverage 0.6) so rerunning the sweep with no flags reproduces
+    # the production setting (docs/quality.md)
+    ap.add_argument("--margin", type=float, default=1.5)
     ap.add_argument("--ramp", type=float, default=3.0)
-    ap.add_argument("--coverage", type=float, default=0.5)
+    ap.add_argument("--coverage", type=float, default=0.6)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 

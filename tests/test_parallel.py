@@ -86,3 +86,28 @@ def test_fleet_with_obstacles_runs():
     res, stats = scenario.solve_fleet(config, mesh, prob)
     assert np.isfinite(np.asarray(res.cost)).all()
     assert int(stats.total) == batch
+
+
+def test_fleet_composes_with_per_scenario_v_cap():
+    """Regression (round-4 advisor): solve_fleet's in_specs must mirror
+    the actual Problem pytree — a fleet carrying per-scenario velocity
+    caps (the unknown-space slowdown feature) used to crash with a
+    spec/structure mismatch."""
+    config = se3_mpc.SE3MPCConfig(
+        prediction_horizon=10, max_iterations=6, tail_iterations=0
+    )
+    batch = 32
+    prob = _random_problem(config, batch, seed=4)
+    caps = np.full((batch,), 1.5, np.float32)
+    prob = prob._replace(v_cap=jnp.asarray(caps))
+    mesh = scenario.make_fleet_mesh()
+    prob_s = scenario.shard_scenarios(prob, mesh)
+    res, stats = scenario.solve_fleet(config, mesh, prob_s)
+    assert np.all(np.isfinite(np.asarray(res.cost)))
+    # the 1.5 m/s cap must actually bind vs an uncapped solve
+    res_free, _ = scenario.solve_fleet(
+        config, mesh, prob_s._replace(v_cap=None)
+    )
+    v_cap = float(jnp.max(jnp.abs(res.velocities)))
+    v_free = float(jnp.max(jnp.abs(res_free.velocities)))
+    assert v_cap < v_free

@@ -274,3 +274,40 @@ def test_tail_refine_improves_unconverged_and_never_regresses():
     assert not np.any(conv1 & ~conv2)  # converged never un-converges
     assert conv2.mean() > conv1.mean()  # the tail pass converts some
     assert np.any(c2 < c1 - 1e-3)  # and genuinely improves costs
+
+
+def test_tail_refine_shared_fields_with_coincident_batch_dims():
+    """Regression (round-4 advisor): _tail_refine's shared-vs-batched
+    field classification must go by trailing rank, not shape-prefix
+    equality. A shared (3,) goal with a batch of exactly 3 scenarios
+    (and shared (K, 4) obstacles with K == B) used to be misread as
+    batched, silently corrupting refined costs."""
+    rng = np.random.default_rng(3)
+    base = CFG._replace(max_iterations=4, tail_iterations=4,
+                        tail_capacity=1.0)
+    for B, K in [(3, 4), (4, 4)]:  # B==len(goal), then B==K
+        obs = np.concatenate(
+            [rng.normal(0, 3, (K, 3)), rng.uniform(0.4, 1.0, (K, 1))],
+            axis=-1,
+        ).astype(np.float32)
+        p0 = rng.normal(0, 2, (B, 3)).astype(np.float32) + [0, 0, 5]
+        v0 = rng.normal(0, 1, (B, 3)).astype(np.float32)
+        goal_shared = np.asarray([4.0, -2.0, 6.0], np.float32)
+        prob_shared = se3_mpc.make_problem(
+            p0, v0, goal_shared, obstacles=obs, config=base
+        )
+        prob_bcast = se3_mpc.make_problem(
+            p0, v0, np.tile(goal_shared, (B, 1)),
+            obstacles=np.tile(obs[None], (B, 1, 1)), config=base,
+        )
+        u0 = se3_mpc.initialize_thrusts(base, prob_shared)
+        r_shared = se3_mpc.solve(base, prob_shared, u0, method="xla")
+        r_bcast = se3_mpc.solve(base, prob_bcast, u0, method="xla")
+        np.testing.assert_allclose(
+            np.asarray(r_shared.cost), np.asarray(r_bcast.cost),
+            rtol=1e-5, err_msg=f"B={B} K={K}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(r_shared.thrusts), np.asarray(r_bcast.thrusts),
+            rtol=1e-4, atol=1e-4,
+        )
