@@ -24,8 +24,68 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)  # float64 available in tests;
 # library code stays float32-first (dtype follows inputs).
 
+import signal
+
 import numpy as np
 import pytest
+from _pytest.runner import runtestprotocol
+
+# ---------------------------------------------------------------------------
+# Test-infra hardening (reference parity: /root/reference/pytest.ini ships a
+# 300 s per-test timeout and 2 reruns for flakes). Neither pytest-timeout nor
+# pytest-rerunfailures is installed in this image, so both are homegrown:
+#   - every test gets a SIGALRM watchdog (DART_TEST_TIMEOUT_S, default 300 s)
+#     so one hung test can't wedge the whole ~13 min suite;
+#   - tests marked @pytest.mark.flaky rerun up to 2 times before being
+#     reported failed (timing-sensitive tests on loaded shared boxes).
+# ---------------------------------------------------------------------------
+
+_TEST_TIMEOUT_S = int(os.environ.get("DART_TEST_TIMEOUT_S", "300"))
+_FLAKY_RERUNS = 2
+
+
+@pytest.fixture(autouse=True)
+def _per_test_timeout(request):
+    if _TEST_TIMEOUT_S <= 0 or not hasattr(signal, "SIGALRM"):
+        yield
+        return
+
+    def _on_timeout(signum, frame):
+        pytest.fail(
+            f"test exceeded the {_TEST_TIMEOUT_S}s per-test timeout "
+            "(DART_TEST_TIMEOUT_S)", pytrace=False,
+        )
+
+    old = signal.signal(signal.SIGALRM, _on_timeout)
+    signal.alarm(_TEST_TIMEOUT_S)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
+def pytest_runtest_protocol(item, nextitem):
+    """Rerun @pytest.mark.flaky tests up to 2 times before failing."""
+    if item.get_closest_marker("flaky") is None:
+        return None  # default protocol
+    for attempt in range(1 + _FLAKY_RERUNS):
+        item.ihook.pytest_runtest_logstart(
+            nodeid=item.nodeid, location=item.location
+        )
+        reports = runtestprotocol(item, nextitem=nextitem, log=False)
+        failed = any(r.failed for r in reports)
+        if not failed or attempt == _FLAKY_RERUNS:
+            for r in reports:
+                item.ihook.pytest_runtest_logreport(report=r)
+            item.ihook.pytest_runtest_logfinish(
+                nodeid=item.nodeid, location=item.location
+            )
+            return True
+        item.ihook.pytest_runtest_logfinish(
+            nodeid=item.nodeid, location=item.location
+        )
+    return True
 
 
 @pytest.fixture
