@@ -31,6 +31,7 @@ from typing import Any, Dict, List, Optional, Set
 import numpy as np
 
 from dart_planner_tpu.common.logging_config import get_logger
+from dart_planner_tpu.common.metrics import get_metrics
 from dart_planner_tpu.hardware.simulated_vehicle import SimulatedVehicleIO
 from dart_planner_tpu.perception import GeometricMapper
 from dart_planner_tpu.planning.se3_mpc import SE3MPCConfig, SE3MPCPlanner
@@ -231,6 +232,12 @@ class DemoEngine:
                 np.min(np.linalg.norm(plan_np - new_pos[None, :], axis=1))
             )
             self.trajectory.append(new_pos.tolist())
+            # feed the ops stack (deploy/: Prometheus scrapes these via
+            # MetricsManager.serve when a metrics port is configured)
+            mx = get_metrics()
+            mx.record("planning_time_ms", plan_ms)
+            mx.record("tracking_error_m", track_err)
+            mx.increment("replans")
             stats = self.planner.get_planning_stats()
             self.metrics.update(
                 planning_time_ms=round(plan_ms, 2),
@@ -459,12 +466,27 @@ async def main(
     port: int = 8080,
     duration: Optional[float] = None,
     autostart: Optional[str] = None,
+    metrics_port: Optional[int] = None,
 ) -> None:
-    """Serve the demo: page+REST on ``port``, WebSocket on ``port+1``."""
+    """Serve the demo: page+REST on ``port``, WebSocket on ``port+1``.
+
+    ``metrics_port`` (or env ``DART_METRICS_PORT``) additionally serves
+    the Prometheus exposition on ``/metrics`` for the deploy/ stack."""
     try:
         import websockets
     except ImportError as e:  # pragma: no cover
         raise RuntimeError("websockets package required for the demo") from e
+
+    import os
+
+    if metrics_port is None and os.environ.get("DART_METRICS_PORT"):
+        metrics_port = int(os.environ["DART_METRICS_PORT"])
+    metrics_server = None
+    if metrics_port:
+        metrics_server = get_metrics().serve(
+            metrics_port, host=os.environ.get("DART_METRICS_HOST", "127.0.0.1")
+        )
+        logger.info("metrics: http://127.0.0.1:%d/metrics", metrics_port)
 
     engine = DemoEngine()
     loop = asyncio.get_running_loop()
@@ -492,3 +514,5 @@ async def main(
         await engine.stop()
     finally:
         httpd.shutdown()
+        if metrics_server is not None:
+            metrics_server.shutdown()

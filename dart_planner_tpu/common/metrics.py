@@ -108,6 +108,39 @@ class MetricsManager:
         return "\n".join(lines) + "\n"
 
 
+    def serve(self, port: int = 9100, host: str = "127.0.0.1"):
+        """Serve ``/metrics`` (Prometheus text exposition) on a daemon
+        thread; returns the ``ThreadingHTTPServer`` (call ``shutdown()``
+        to stop). This is the scrape target ``deploy/prometheus.yml``
+        points at — the TPU-side analog of the reference's
+        app-container scrape endpoints (docker-compose.yml:105-130)."""
+        import http.server
+
+        manager = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):
+                if self.path not in ("/metrics", "/"):
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                body = manager.prometheus_exposition().encode()
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type", "text/plain; version=0.0.4"
+                )
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):  # quiet
+                pass
+
+        server = http.server.ThreadingHTTPServer((host, port), Handler)
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        return server
+
+
 _global = MetricsManager()
 
 
