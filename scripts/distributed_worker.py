@@ -37,6 +37,12 @@ def main():
     ap.add_argument("--iterations", type=int, default=4)
     ap.add_argument("--measure", action="store_true",
                     help="also time chained solves (weak scaling)")
+    ap.add_argument("--tail-iterations", type=int, default=0,
+                    help="two-phase adaptive tail rounds (the shipping "
+                         "config uses 8); per-shard compaction makes the "
+                         "multi-process result differ from the "
+                         "single-process reference BY DESIGN, so the "
+                         "parity section is skipped when > 0")
     ap.add_argument("--reps", type=int, default=5)
     args = ap.parse_args()
 
@@ -69,7 +75,7 @@ def main():
     # single-phase core (see parallel/scenario.py docstring).
     config = se3_mpc.SE3MPCConfig(
         prediction_horizon=args.horizon, max_iterations=args.iterations,
-        tail_iterations=0,
+        tail_iterations=args.tail_iterations,
     )
 
     import numpy as np
@@ -118,8 +124,10 @@ def main():
         },
     }
 
-    if args.process_id == 0:
+    if args.process_id == 0 and args.tail_iterations == 0:
         # single-process reference: same global fleet, plain local solve
+        # (single-phase only: the tail pass selects its refine cohort
+        # per shard, so multi-process results differ by design)
         ref = se3_mpc.solve_se3_mpc(config, full)
         out["reference"] = {
             "total": float(B),

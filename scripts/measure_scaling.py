@@ -27,7 +27,7 @@ def free_port() -> int:
 
 
 def run_mesh(num_processes, local_devices, per_device, reps,
-             pin_cores=False):
+             pin_cores=False, tail_iterations=0):
     batch = per_device * num_processes * local_devices
     port = free_port()
     env = dict(os.environ)
@@ -54,6 +54,7 @@ def run_mesh(num_processes, local_devices, per_device, reps,
                 "--local-devices", str(local_devices),
                 "--global-batch", str(batch),
                 "--measure", "--reps", str(reps),
+                "--tail-iterations", str(tail_iterations),
             ],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env, cwd=ROOT,
@@ -76,13 +77,17 @@ def main():
     ap.add_argument("--max-procs", type=int, default=8)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--pin-cores", action="store_true")
+    ap.add_argument("--tail-iterations", type=int, default=0,
+                    help="measure with the two-phase adaptive tail "
+                         "(VERDICT r4 item 6: the shipping config is 8)")
     args = ap.parse_args()
 
     rows = []
     n = 1
     while n <= args.max_procs:
         r = run_mesh(n, 1, args.per_device, args.reps,
-                     pin_cores=args.pin_cores)
+                     pin_cores=args.pin_cores,
+                     tail_iterations=args.tail_iterations)
         t = r["throughput"]
         rows.append(t)
         print(
