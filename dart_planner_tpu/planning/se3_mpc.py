@@ -125,6 +125,37 @@ class SE3MPCConfig(NamedTuple):
     # micro-improvements also means the ftol stall triggers honestly
     # sooner).
     tail_line_search_alphas: tuple = (1.0, 0.5, 0.25, 0.05)
+    # Perturbed restart (phase 3, optional; VERDICT round-4 item 7):
+    # the most SUSPICIOUS scenarios after the tail pass (ranked by
+    # cost / hinge-free-quadratic-floor, still-unconverged first) are
+    # re-solved from a jittered cold start in a compact batch, keeping
+    # whichever result costs less. This is basin escape for the
+    # nonconvex obstacle hinge: a basin-stuck scenario ftol-STALLS
+    # (it is declared converged — progress genuinely stopped, in the
+    # wrong basin), so no amount of polishing, and no unconverged-first
+    # selection, can touch it. Anatomy of the one known instance
+    # (scripts/diag_stuck.py, TPU XLA path, excess 1.084): 98% of
+    # 1-2 N jittered QP starts reach the true basin under the staged
+    # shipping schedule — but 0% of unjittered starts, and large noise
+    # (4-8 N) degrades to ~70%. Hence the defaults: noise 2 N, the
+    # BASE staged Newton schedule (full curvature from a cold start is
+    # exactly the basin-leaving regime the gn_warmup doc warns about),
+    # a budget of ~20 rounds when enabled (12 landed the known instance
+    # in a THIRD basin at excess 0.71; 20 reaches ground truth —
+    # measured max excess 1.08 -> 0.080 across the 4096-bench batch),
+    # and capacity 0.25 (matching the tail pass's lane count): the
+    # suspicion signal separates stuck scenarios only into the top
+    # 10-15% (measured positions ~410-540/4096 behind the ~2%
+    # unconverged prefix), and WHICH scenarios stick varies per
+    # compiled executable (line-search near-ties land differently per
+    # fusion), so the cohort needs generous margin. 0 disables (the
+    # shipping
+    # default: the fused path's aggregate quality does not need it, and
+    # the fleet cadence absorbs rare stragglers via warm-started
+    # replans).
+    restart_iterations: int = 0
+    restart_capacity: float = 0.25
+    restart_noise: float = 2.0  # N: thrust-plan jitter std around the init
     # Cold-start mode for :func:`initialize_thrusts`: "qp" starts at the
     # box-clipped unconstrained minimizer of the QUADRATIC cost terms
     # (one precomputed (N,N)-inverse matmul per axis — the constant
@@ -646,43 +677,22 @@ def _solve_once(
     )
 
 
-def _tail_refine(
-    config: SE3MPCConfig,
-    prob: costs.Problem,
-    res: SolveResult,
-    use_obstacles: bool,
-    method: str,
-    block_b: int,
-) -> SolveResult:
-    """Adaptive phase 2: refine the unconverged tail in a compact batch.
+def _flatten_batch(prob: costs.Problem, res: SolveResult):
+    """Flatten leading batch dims of a Problem/SolveResult pair.
 
-    Scenarios are ranked unconverged-first (stable argsort of the phase-1
-    stall mask) and the first ``ceil(tail_capacity * B)`` are re-solved,
-    warm-started from their phase-1 iterate, for ``tail_iterations``
-    full-curvature Newton rounds at ``tail_cg_iterations`` CG steps (the
-    tail's crawl is inner-CG-limited; see SE3MPCConfig docstring). The
-    batched equivalent of the reference's run-until-ftol scipy loop
-    (se3_mpc_planner.py:256-268): converged scenarios pay nothing beyond
-    the capacity slack, the tail gets the iterations it needs. Results
-    scatter back only where the refined cost is no worse (bf16 line-search
-    near-ties on the fused path could otherwise accept ~1e-5 relative
-    regressions); ``converged`` ORs the two stalls — the combined
-    criterion is still "some Newton round realized <= ftol progress".
-    """
+    Shared Problem fields (no batch prefix — shared obstacle sets, a
+    single goal point) broadcast to the full batch first. Shared vs
+    batched is decided by ndim against the field's known trailing
+    rank(s), NOT by shape-prefix equality: a shared (3,) goal with a
+    batch of exactly 3 scenarios, or shared (K, 4) obstacles with
+    K == B, must not be misread as batched. The one genuinely ambiguous
+    corner — a shared per-step (N, 3) goal with nb == 1 and N == B —
+    resolves to "batched" (prefix match)."""
     batch_shape = res.cost.shape
     B = int(np.prod(batch_shape, dtype=np.int64)) if batch_shape else 1
-    C = max(1, int(np.ceil(config.tail_capacity * B)))
     nb = len(batch_shape)
 
     def flat(x, trailing):
-        """Flatten batch dims; shared fields (no batch prefix — shared
-        obstacle sets, a single goal point) broadcast to the full batch
-        first. Shared vs batched is decided by ndim against the field's
-        known trailing rank(s), NOT by shape-prefix equality: a shared
-        (3,) goal with a batch of exactly 3 scenarios, or shared (K, 4)
-        obstacles with K == B, must not be misread as batched. The one
-        genuinely ambiguous corner — a shared per-step (N, 3) goal with
-        nb == 1 and N == B — resolves to "batched" (prefix match)."""
         if x is None:
             return None
         shared = any(x.ndim == t for t in trailing)
@@ -709,14 +719,32 @@ def _tail_refine(
     res_f = SolveResult(
         **{k: flat(getattr(res, k), res_trailing[k]) for k in res._fields}
     )
-    # unconverged first via a stable PARTITION (two prefix sums) — a
-    # full argsort costs ~0.1 ms of bitonic passes on TPU for 4096
-    # lanes, pure glue on the hot path
-    unconv = (~res_f.converged).astype(jnp.int32)
-    rank_u = jnp.cumsum(unconv) - 1
-    n_unconv = rank_u[-1] + 1
-    rank_c = jnp.cumsum(1 - unconv) - 1
-    slot = jnp.where(unconv == 1, rank_u, n_unconv + rank_c)  # permutation
+    return prob_f, res_f, batch_shape, B
+
+
+def _compact_resolve(
+    cfg_c: SE3MPCConfig,
+    prob_f: costs.Problem,
+    res_f: SolveResult,
+    u_start_f: Array,
+    C: int,
+    slot: Array,
+    use_obstacles: bool,
+    method: str,
+    block_b: int,
+) -> SolveResult:
+    """Re-solve the worst cohort in a compact batch and merge improvements.
+
+    ``slot`` is a permutation ranking scenarios re-solve-first (slot i <
+    C means scenario i is in the cohort); the first ``C`` are re-solved
+    under ``cfg_c`` starting from their rows of ``u_start_f``. Results
+    scatter back only where the re-solved cost is no worse (bf16
+    line-search near-ties on the fused path could otherwise accept
+    ~1e-5 relative regressions); ``converged`` ORs the two stalls — the
+    combined criterion is still "some Newton round realized <= ftol
+    progress". Shared by the tail-refinement and perturbed-restart
+    phases."""
+    B = res_f.cost.shape[0]
     # invert the permutation for the first C slots (one small int32
     # scatter; the value merges below are all GATHERS — TPU scatters of
     # the big state arrays cost ~0.1 ms each and dominated the glue)
@@ -726,22 +754,14 @@ def _tail_refine(
 
     take = lambda x: None if x is None else x[idx]  # noqa: E731
     prob_t = costs.Problem(*[take(x) for x in prob_f])
-    cfg_t = config._replace(
-        max_iterations=config.tail_iterations,
-        cg_iterations=config.tail_cg_iterations,
-        newton_full_curvature=True,
-        gn_warmup_iterations=0,
-        tail_iterations=0,
-        line_search_alphas=config.tail_line_search_alphas,
-    )
     ref = _solve_once(
-        cfg_t, prob_t, res_f.thrusts[idx], use_obstacles, method,
+        cfg_c, prob_t, u_start_f[idx], use_obstacles, method,
         min(block_b, 1024), with_grad=False,
     )
     ok = ref.cost <= res_f.cost[idx]
 
-    # scatter-free merge: scenario i was refined iff its partition slot
-    # is within capacity; read the refined value back with a gather
+    # scatter-free merge: scenario i was re-solved iff its partition
+    # slot is within capacity; read the value back with a gather
     safe_slot = jnp.minimum(slot, C - 1)
     use_new = (slot < C) & ok[safe_slot]  # (B,)
 
@@ -752,7 +772,7 @@ def _tail_refine(
         sel = use_new.reshape(use_new.shape + (1,) * (new.ndim - 1))
         return jnp.where(sel, new[safe_slot], old)
 
-    out = SolveResult(
+    return SolveResult(
         thrusts=merge("thrusts", ref.thrusts),
         positions=merge("positions", ref.positions),
         velocities=merge("velocities", ref.velocities),
@@ -760,18 +780,128 @@ def _tail_refine(
         cost=merge("cost", ref.cost),
         converged=res_f.converged
         | (use_new & ref.converged[safe_slot]),
-        # grad_norm keeps the phase-1 diagnostic for refined scenarios
+        # grad_norm keeps the phase-1 diagnostic for re-solved scenarios
         # (with_grad=False above skips the AD pass; the value is not part
         # of the ftol convergence criterion)
         grad_norm=res_f.grad_norm,
         min_improvement=merge("min_improvement", ref.min_improvement),
     )
+
+
+def _unflatten(res: SolveResult, batch_shape) -> SolveResult:
     return SolveResult(
         *[
             None if x is None else x.reshape(batch_shape + x.shape[1:])
-            for x in out
+            for x in res
         ]
     )
+
+
+def _tail_refine(
+    config: SE3MPCConfig,
+    prob: costs.Problem,
+    res: SolveResult,
+    use_obstacles: bool,
+    method: str,
+    block_b: int,
+) -> SolveResult:
+    """Adaptive phase 2: refine the unconverged tail in a compact batch.
+
+    The first ``ceil(tail_capacity * B)`` scenarios ranked
+    unconverged-first are re-solved, warm-started from their phase-1
+    iterate, for ``tail_iterations`` full-curvature Newton rounds at
+    ``tail_cg_iterations`` CG steps (the tail's crawl is
+    inner-CG-limited; see SE3MPCConfig docstring). The batched
+    equivalent of the reference's run-until-ftol scipy loop
+    (se3_mpc_planner.py:256-268): converged scenarios pay nothing beyond
+    the capacity slack, the tail gets the iterations it needs."""
+    prob_f, res_f, batch_shape, B = _flatten_batch(prob, res)
+    C = max(1, int(np.ceil(config.tail_capacity * B)))
+    cfg_t = config._replace(
+        max_iterations=config.tail_iterations,
+        cg_iterations=config.tail_cg_iterations,
+        newton_full_curvature=True,
+        gn_warmup_iterations=0,
+        tail_iterations=0,
+        restart_iterations=0,
+        line_search_alphas=config.tail_line_search_alphas,
+    )
+    # unconverged first via a stable PARTITION (two prefix sums) — a
+    # full argsort costs ~0.1 ms of bitonic passes on TPU for 4096
+    # lanes, pure glue on the hot path
+    unconv = (~res_f.converged).astype(jnp.int32)
+    rank_u = jnp.cumsum(unconv) - 1
+    n_unconv = rank_u[-1] + 1
+    rank_c = jnp.cumsum(1 - unconv) - 1
+    slot = jnp.where(unconv == 1, rank_u, n_unconv + rank_c)
+    out = _compact_resolve(
+        cfg_t, prob_f, res_f, res_f.thrusts, C, slot, use_obstacles,
+        method, block_b,
+    )
+    return _unflatten(out, batch_shape)
+
+
+def _perturbed_restart(
+    config: SE3MPCConfig,
+    prob: costs.Problem,
+    res: SolveResult,
+    use_obstacles: bool,
+    method: str,
+    block_b: int,
+) -> SolveResult:
+    """Optional phase 3: basin escape for still-stuck scenarios.
+
+    The restart cohort is ranked by SUSPICION, not convergence: a
+    basin-stuck scenario ftol-STALLS (measured on the TPU XLA path:
+    the one scenario at cost excess 1.08 is declared converged — its
+    progress genuinely stalled, in the wrong basin), so
+    unconverged-first selection can never find it. The rank signal is
+    ``cost / quadratic-floor`` — the hinge-free QP cost at the
+    box-clipped quadratic optimum is a scenario-scale reference, and a
+    poor basin shows up as an outsized ratio — with still-unconverged
+    scenarios forced to the front. The chosen cohort is re-solved from
+    a PERTURBED cold start (deterministic Gaussian jitter of std
+    ``restart_noise`` N on the QP/cold thrust init), keeping whichever
+    result costs less; the cost-guarded merge makes the attempt free of
+    quality risk."""
+    prob_f, res_f, batch_shape, B = _flatten_batch(prob, res)
+    C = max(1, int(np.ceil(config.restart_capacity * B)))
+    # the BASE staged schedule (GN warmup -> full curvature, base CG
+    # and line-search grid): a jittered start is a COLD start, and full
+    # curvature from cold is the basin-leaving regime — measured on the
+    # known stuck instance, the staged schedule converts 98% of 1-2 N
+    # jittered starts, where an 8-round full-curvature-from-cold
+    # variant converted none (scripts/diag_stuck.py)
+    cfg_r = config._replace(
+        max_iterations=config.restart_iterations,
+        tail_iterations=0,
+        restart_iterations=0,
+    )
+    u_cold = initialize_thrusts(config, prob_f)
+    w_quad = config.weights._replace(
+        obstacle=0.0, ground=0.0, velocity_bound=0.0, tilt=0.0,
+        thrust_norm=0.0,
+    )
+    gvec = frames.gravity_vector(
+        frames.WorldFrame.ENU, config.gravity
+    ).astype(u_cold.dtype)
+    quad_floor = costs.condensed_cost(
+        u_cold, prob_f, w_quad, config.dt, config.mass, gvec
+    )
+    ratio = res_f.cost / jnp.maximum(quad_floor, 1e-3)
+    priority = ratio + jnp.where(res_f.converged, 0.0, 1e12)
+    order = jnp.argsort(-priority, stable=True)  # re-solve-first indices
+    slot = jnp.zeros((B,), order.dtype).at[order].set(
+        jnp.arange(B, dtype=order.dtype)
+    )
+    noise = config.restart_noise * jax.random.normal(
+        jax.random.PRNGKey(0), u_cold.shape, u_cold.dtype
+    )
+    out = _compact_resolve(
+        cfg_r, prob_f, res_f, u_cold + noise, C, slot, use_obstacles,
+        method, block_b,
+    )
+    return _unflatten(out, batch_shape)
 
 
 @functools.partial(
@@ -797,6 +927,10 @@ def solve(
     res = _solve_once(config, prob, u_init, use_obstacles, method, block_b)
     if config.tail_iterations > 0:
         res = _tail_refine(config, prob, res, use_obstacles, method, block_b)
+    if config.restart_iterations > 0:
+        res = _perturbed_restart(
+            config, prob, res, use_obstacles, method, block_b
+        )
     return res
 
 

@@ -57,6 +57,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--xla-only", action="store_true")
     ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--quick", action="store_true",
+                    help="skip the uniform-budget rows (ship rows only)")
     args = ap.parse_args()
 
     config, prob = make_batch(args.batch)
@@ -101,12 +103,12 @@ def main():
             continue
         # fixed uniform budgets (single-phase, for the budget->quality
         # curve; tail refinement disabled so rows stay comparable)
-        for newton, cg in [
+        for newton, cg in ([] if args.quick else [
             (12, 10),
             (16, 10),
             (20, 10),
             (24, 10),
-        ]:
+        ]):
             try:
                 res = run(
                     config, prob, method,
@@ -125,6 +127,11 @@ def main():
             f"ship 12+{config.tail_iterations}@{config.tail_cg_iterations}",
             res,
         )
+        # ship + perturbed restart (phase 3, VERDICT r4 item 7): re-solve
+        # still-stuck scenarios from a jittered cold start, keep the
+        # cheaper result — basin escape for the nonconvex obstacle hinge
+        res = run(config, prob, method, restart_iterations=20)
+        report(method, "ship+restart 20", res)
 
 
 if __name__ == "__main__":

@@ -311,3 +311,35 @@ def test_tail_refine_shared_fields_with_coincident_batch_dims():
             np.asarray(r_shared.thrusts), np.asarray(r_bcast.thrusts),
             rtol=1e-4, atol=1e-4,
         )
+
+
+def test_perturbed_restart_never_regresses_and_improves():
+    """Phase-3 perturbed restart (restart_iterations > 0): costs never
+    regress vs the two-phase result, converged never un-converges, the
+    result is deterministic, and on a deliberately under-budgeted
+    phase 1 the jittered re-solve genuinely improves some scenario."""
+    rng = np.random.default_rng(7)
+    B = 64
+    base = CFG._replace(max_iterations=2, gn_warmup_iterations=2,
+                        tail_iterations=2, tail_capacity=0.25)
+    obs = np.concatenate(
+        [rng.normal(0, 4, (B, 4, 3)), rng.uniform(0.3, 1.2, (B, 4, 1))],
+        axis=-1,
+    ).astype(np.float32)
+    prob = se3_mpc.make_problem(
+        rng.normal(0, 2, (B, 3)).astype(np.float32) + [0, 0, 5],
+        rng.normal(0, 1, (B, 3)).astype(np.float32),
+        rng.normal(0, 5, (B, 3)).astype(np.float32) + [0, 0, 5],
+        obstacles=obs,
+        config=base,
+    )
+    u0 = se3_mpc.initialize_thrusts(base, prob)
+    r2 = se3_mpc.solve(base, prob, u0, method="xla")
+    cfg_r = base._replace(restart_iterations=8, restart_capacity=0.5)
+    r3 = se3_mpc.solve(cfg_r, prob, u0, method="xla")
+    c2, c3 = np.asarray(r2.cost), np.asarray(r3.cost)
+    assert np.all(c3 <= c2 + 1e-5)
+    assert np.any(c3 < c2 - 1e-3), "restart never improved anything"
+    assert not np.any(np.asarray(r2.converged) & ~np.asarray(r3.converged))
+    r3b = se3_mpc.solve(cfg_r, prob, u0, method="xla")
+    np.testing.assert_array_equal(np.asarray(r3.cost), np.asarray(r3b.cost))
