@@ -165,6 +165,27 @@ class SE3MPCConfig(NamedTuple):
     # the 12-round budget drops ~40x while p95 is unchanged.
     cold_start: str = "qp"
 
+    # Goal-adjacent margin clamp (0 = off, the reference-parity
+    # default): per-obstacle, the ADDED safety margin shrinks just
+    # enough that the inflated ball keeps ``goal_margin_clamp`` metres
+    # clear of the goal (floored at 0.1 m of margin — the raw radius is
+    # never touched). Rationale (scripts/diag_timeouts.py, 2048-episode
+    # fleet): 94% of closed-loop quiet failures were goal-adjacent
+    # hover standoffs where an obstacle's radius + 1.5 m margin ball
+    # swallowed the goal — the hinge/goal-attraction equilibrium then
+    # parks ~1.2 m out, just outside the 1 m success ring, forever
+    # (more episode time converts only ~25% of them). Success when the
+    # goal was margin-blocked: 0.815, vs 0.994 when clear. The mission
+    # chose a goal there; refusing to approach is conservatism in the
+    # wrong place.
+    goal_margin_clamp: float = 0.0
+    # Minimum ADDED margin after clamping. Swept on the 2048-episode
+    # bench fleet (scripts/diag_goalclamp.py): floor 0.1 converts the
+    # timeout cohort but doubles crashes (0.0049 -> 0.0103, plans skim
+    # the clamped obstacle); 0.6 keeps the full conversion at the
+    # pre-clamp crash rate (success 0.9937 / crash 0.0049).
+    goal_margin_floor: float = 0.6
+
     ground_weight: float = 50000.0  # ground-clearance hinge (novel vs reference)
     min_altitude: float = 0.3  # m
     velocity_bound_weight: float = 1000.0  # +-max_velocity hinge (ref box bound)
@@ -229,6 +250,29 @@ class SolveResult(NamedTuple):
     min_improvement: Optional[Array] = None
 
 
+def effective_margins(
+    config: SE3MPCConfig, obstacles: Array, goal_pt: Array
+) -> Array:
+    """Per-obstacle safety margin to ADD to raw radii (..., K).
+
+    With ``config.goal_margin_clamp`` > 0, an obstacle whose inflated
+    ball (radius + safety_margin) would swallow the goal gets its ADDED
+    margin shrunk so the ball stays ``goal_margin_clamp`` m clear of
+    the goal, floored at 0.1 m — the raw radius is never reduced, so
+    the hinge still guards the physical surface. See the config
+    docstring for the measured closed-loop rationale."""
+    margin = jnp.asarray(config.safety_margin, obstacles.dtype)
+    if config.goal_margin_clamp <= 0.0:
+        return jnp.broadcast_to(margin, obstacles.shape[:-1])
+    gd = jnp.linalg.norm(
+        goal_pt[..., None, :] - obstacles[..., :3], axis=-1
+    )
+    room = gd - obstacles[..., 3] - config.goal_margin_clamp
+    return jnp.clip(
+        jnp.minimum(margin, room), config.goal_margin_floor, margin
+    )
+
+
 def make_problem(
     position,
     velocity,
@@ -256,7 +300,10 @@ def make_problem(
         n = obs_in.shape[-2]
         if n > K:
             raise ValueError(f"{n} obstacles > max_obstacles={K}")
-        obs_in = obs_in.at[..., 3].add(config.safety_margin)
+        goal_pt = g[..., -1, :] if g.ndim == len(batch) + 2 else g
+        obs_in = obs_in.at[..., 3].add(
+            effective_margins(config, obs_in, goal_pt)
+        )
         pad = [(0, 0)] * (obs_in.ndim - 2) + [(0, K - n), (0, 0)]
         obs = jnp.pad(obs_in, pad)
         if obstacle_mask is None:

@@ -34,7 +34,15 @@ class ClosedLoopConfig(NamedTuple):
     # replans), so the adaptive phase-2 pass would spend ~15% more solve
     # time for no measurable closed-loop quality gain. Per-solve API
     # consumers get it via the SE3MPCConfig default.
-    mpc: se3_mpc.SE3MPCConfig = se3_mpc.SE3MPCConfig(tail_iterations=0)
+    # goal_margin_clamp on in-loop (0.5 m, floor 0.6): 94% of quiet
+    # episode failures were goal-adjacent hover standoffs where an
+    # obstacle's inflated margin ball swallowed the goal (success 0.815
+    # margin-blocked vs 0.994 clear, scripts/diag_timeouts.py). With
+    # the clamp: success 0.9688 -> 0.9937, timeout 0.0264 -> 0.0015,
+    # crash unchanged at 0.0049 (scripts/diag_goalclamp.py sweep).
+    mpc: se3_mpc.SE3MPCConfig = se3_mpc.SE3MPCConfig(
+        tail_iterations=0, goal_margin_clamp=0.5
+    )
     # thrust ceilings aligned with the planner's 25 N (the reference ships
     # mismatched defaults: planner 25 N, controller/sim 20 N)
     physics: phys.PhysicsConfig = phys.PhysicsConfig(max_thrust=25.0)
@@ -79,6 +87,12 @@ class ClosedLoopConfig(NamedTuple):
     unknown_coverage: float = 0.6  # observed fraction below = unknown
     unknown_margin: float = 1.5  # m: cap fully applies within this range
     unknown_ramp: float = 3.0  # m: cap -> max_velocity over this range
+    # Endgame radius for the goal-adjacent margin clamp
+    # (mpc.goal_margin_clamp): clamped margins apply only while the
+    # vehicle is within this distance of the goal, so transit keeps the
+    # full safety margin and the reduced clearance is only risked at
+    # low terminal-approach speeds. Measured sweep: docs/quality.md.
+    goal_clamp_radius: float = 3.0
 
 
 class EpisodeResult(NamedTuple):
@@ -153,10 +167,29 @@ def simulate_episode(
         true_obstacles = jnp.asarray(true_obstacles, dtype)
         if true_obstacle_mask is None:
             true_obstacle_mask = jnp.ones(true_obstacles.shape[:-1], bool)
-    # pre-add safety margin as make_problem does
-    obstacles = obstacles.at[..., 3].add(
-        jnp.where(obstacle_mask, mpc.safety_margin, 0.0)
+    # pre-add safety margin as make_problem does. With
+    # mpc.goal_margin_clamp > 0 an ENDGAME variant is also built:
+    # obstacles whose inflated ball would swallow the goal shrink
+    # their ADDED margin so the success ring stays reachable — 94% of
+    # quiet episode failures were margin-blocked-goal hover standoffs
+    # (scripts/diag_timeouts.py). The clamped margins apply only while
+    # the vehicle is within config.goal_clamp_radius of the goal
+    # (selected per replan below): transit keeps the full margin, and
+    # crash exposure is confined to the low-speed terminal approach.
+    gate_clamp = mpc.goal_margin_clamp > 0.0
+
+    def with_margins(obs, mask, clamped):
+        cfg_m = mpc if clamped else mpc._replace(goal_margin_clamp=0.0)
+        return obs.at[..., 3].add(
+            jnp.where(
+                mask, se3_mpc.effective_margins(cfg_m, obs, goal), 0.0
+            )
+        )
+
+    obstacles_clamped = (
+        with_margins(obstacles, obstacle_mask, True) if gate_clamp else None
     )
+    obstacles = with_margins(obstacles, obstacle_mask, False)
 
     # in-flight proximity sensing: the planner's obstacle array is the
     # STATIC concat [perceived | true]; the true part's mask is computed
@@ -165,19 +198,25 @@ def simulate_episode(
     # while in range — matching a live 10 Hz mapper refresh.
     use_sensing = config.sense_radius > 0.0 and track_collisions
     if use_sensing:
-        sensed_obs = true_obstacles.at[..., 3].add(
-            jnp.where(true_obstacle_mask, mpc.safety_margin, 0.0)
-        )
-        plan_obs = jnp.concatenate(
-            [
-                jnp.broadcast_to(
-                    obstacles, batch_shape + obstacles.shape[-2:]
-                ),
-                jnp.broadcast_to(
-                    sensed_obs, batch_shape + sensed_obs.shape[-2:]
-                ),
-            ],
-            axis=-2,
+        def sensed_concat(obs_perceived, clamped):
+            sensed = with_margins(
+                true_obstacles, true_obstacle_mask, clamped
+            )
+            return jnp.concatenate(
+                [
+                    jnp.broadcast_to(
+                        obs_perceived, batch_shape + obs_perceived.shape[-2:]
+                    ),
+                    jnp.broadcast_to(
+                        sensed, batch_shape + sensed.shape[-2:]
+                    ),
+                ],
+                axis=-2,
+            )
+
+        plan_obs = sensed_concat(obstacles, False)
+        plan_obs_clamped = (
+            sensed_concat(obstacles_clamped, True) if gate_clamp else None
         )
         perceived_mask_b = jnp.broadcast_to(
             obstacle_mask, batch_shape + obstacle_mask.shape[-1:]
@@ -242,6 +281,17 @@ def simulate_episode(
                 config.unknown_speed_cap
                 + (mpc.max_velocity - config.unknown_speed_cap) * ramp
             ).astype(dtype)
+        def endgame_select(full, clamped):
+            """Clamped margins only inside the endgame ball around the
+            goal (per episode, per replan)."""
+            if not gate_clamp:
+                return full
+            near = (
+                jnp.linalg.norm(rb.position - goal, axis=-1)
+                < config.goal_clamp_radius
+            )
+            return jnp.where(near[..., None, None], clamped, full)
+
         if use_sensing:
             gap = jnp.linalg.norm(
                 rb.position[..., None, :] - true_obstacles[..., :3], axis=-1
@@ -252,7 +302,7 @@ def simulate_episode(
                 p0=rb.position + noise[..., :3],
                 v0=rb.velocity + noise[..., 3:],
                 goal=goal,
-                obstacles=plan_obs,
+                obstacles=endgame_select(plan_obs, plan_obs_clamped),
                 obstacle_mask=plan_mask,
                 v_cap=v_cap,
             )
@@ -261,7 +311,7 @@ def simulate_episode(
                 p0=rb.position + noise[..., :3],
                 v0=rb.velocity + noise[..., 3:],
                 goal=goal,
-                obstacles=obstacles,
+                obstacles=endgame_select(obstacles, obstacles_clamped),
                 obstacle_mask=obstacle_mask,
                 v_cap=v_cap,
             )

@@ -343,3 +343,41 @@ def test_perturbed_restart_never_regresses_and_improves():
     assert not np.any(np.asarray(r2.converged) & ~np.asarray(r3.converged))
     r3b = se3_mpc.solve(cfg_r, prob, u0, method="xla")
     np.testing.assert_array_equal(np.asarray(r3.cost), np.asarray(r3b.cost))
+
+
+def test_goal_margin_clamp_restores_goal_reachability():
+    """A goal inside an obstacle's inflated margin ball parks the plan
+    at a standoff outside the 1 m success ring (the closed-loop quiet-
+    failure mode, scripts/diag_timeouts.py); with goal_margin_clamp the
+    added margin shrinks just enough that the plan terminates at the
+    goal, while the raw radius stays guarded by the floor."""
+    goal = np.asarray([5.0, 0.0, 3.0], np.float32)
+    # obstacle surface 0.7 m from the goal: inside the 1.5 m margin
+    obs = np.asarray([[5.0, 1.2, 3.0, 0.5]], np.float32)
+    base = CFG._replace(tail_iterations=0)
+    u_kw = dict(method="xla")
+
+    def final_dist(cfg):
+        prob = se3_mpc.make_problem(
+            np.zeros(3, np.float32), np.zeros(3, np.float32), goal,
+            obstacles=obs, config=cfg,
+        )
+        u0 = se3_mpc.initialize_thrusts(cfg, prob)
+        r = se3_mpc.solve(cfg, prob, u0, **u_kw)
+        return float(np.linalg.norm(np.asarray(r.positions)[-1] - goal))
+
+    d_off = final_dist(base)
+    d_on = final_dist(base._replace(goal_margin_clamp=0.5,
+                                    goal_margin_floor=0.6))
+    assert d_off > 0.45, d_off  # the standoff the clamp exists to fix
+    assert d_on < 0.25, (d_on, d_off)
+
+    # margins helper invariants
+    import jax.numpy as jnp
+
+    cfg = base._replace(goal_margin_clamp=0.5, goal_margin_floor=0.6)
+    far = np.asarray([[20.0, 0.0, 3.0, 0.5]], np.float32)
+    m_far = np.asarray(se3_mpc.effective_margins(cfg, jnp.asarray(far), jnp.asarray(goal)))
+    assert np.allclose(m_far, cfg.safety_margin)  # untouched when clear
+    m_near = np.asarray(se3_mpc.effective_margins(cfg, jnp.asarray(obs), jnp.asarray(goal)))
+    assert cfg.goal_margin_floor - 1e-6 <= m_near[0] < cfg.safety_margin
