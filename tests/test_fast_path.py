@@ -75,6 +75,7 @@ def test_measure_latency_through_rt_loop(fast_path):
     assert np.isfinite(cmd["thrust"])
 
 
+@pytest.mark.flaky  # wall-clock rate assertions on a shared box
 def test_exec_times_export():
     loop = rt_executor.create_control_loop(frequency_hz=500.0)
     loop.set_gains(

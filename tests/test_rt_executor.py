@@ -20,6 +20,7 @@ needs_native = pytest.mark.skipif(
 
 
 @needs_native
+@pytest.mark.flaky  # wall-clock rate assertions on a shared box
 def test_native_loop_runs_at_rate():
     loop = RealTimeControlLoop(frequency_hz=500.0)
     loop.set_gains([1, 1, 4], [0, 0, 0.1], [0.5, 0.5, 2],
@@ -71,6 +72,7 @@ def test_native_no_output_without_state():
     loop.stop()
 
 
+@pytest.mark.flaky  # wall-clock rate assertions on a shared box
 def test_python_fallback_loop():
     loop = PythonControlLoop(frequency_hz=200.0)
     loop.set_gains([1, 1, 4], [0, 0, 0], [0, 0, 0], [0, 0, 0], [0, 0, 0], [0, 0, 0])
