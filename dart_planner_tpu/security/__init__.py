@@ -98,3 +98,29 @@ __all__ += [
 from dart_planner_tpu.security.db import UserService  # noqa: E402
 
 __all__ += ["UserService"]
+
+from dart_planner_tpu.security.permissions import (  # noqa: E402
+    PERMISSION_GROUPS,
+    ROLE_MATRIX,
+    Permission,
+    get_permissions_by_group,
+    get_role_permissions,
+    get_roles_with_permission,
+    has_all_permissions,
+    has_any_permission,
+    has_legacy_permission,
+    has_permission,
+)
+
+__all__ += [
+    "PERMISSION_GROUPS",
+    "ROLE_MATRIX",
+    "Permission",
+    "get_permissions_by_group",
+    "get_role_permissions",
+    "get_roles_with_permission",
+    "has_all_permissions",
+    "has_any_permission",
+    "has_legacy_permission",
+    "has_permission",
+]

@@ -37,10 +37,16 @@ class Role(str, enum.Enum):
     ADMIN = "admin"
     OPERATOR = "operator"
     VIEWER = "viewer"
+    PILOT = "pilot"  # flight-control operations (reference auth.py:47)
 
 
+# Short command-string permissions (the secure hardware channel keys
+# off these, hardware/secure_interface.py). The full typed RBAC matrix
+# lives in security.permissions (reference permissions.py parity).
 ROLE_PERMISSIONS: Dict[Role, List[str]] = {
     Role.ADMIN: ["*"],
+    Role.PILOT: ["arm", "disarm", "takeoff", "land", "emergency_stop",
+                 "set_mission", "view"],
     Role.OPERATOR: ["arm", "takeoff", "land", "set_mission", "view"],
     Role.VIEWER: ["view"],
 }
