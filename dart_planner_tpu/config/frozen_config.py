@@ -16,7 +16,7 @@ from pathlib import Path
 from typing import Any, Dict, Optional
 
 import yaml
-from pydantic import BaseModel, Field, field_validator
+from pydantic import BaseModel, Field, field_validator, model_validator
 
 from dart_planner_tpu.common.errors import ConfigurationError
 
@@ -50,6 +50,84 @@ class HardwareConfig(BaseModel, frozen=True):
                 f"planning_frequency {v} must not exceed control_frequency {cf}"
             )
         return v
+
+
+class RealTimeConfig(BaseModel, frozen=True):
+    """(FC RealTimeConfig, frozen_config.py:82-112): loop frequencies,
+    per-loop latency budgets, deadline/jitter monitoring, and scheduler
+    priorities. Cross-validated at construction: every loop's latency
+    budget must fit inside its own period — the startup check the
+    reference runs in its RT-requirement validation (FC:531-589)."""
+
+    control_loop_frequency_hz: float = Field(400.0, ge=50.0, le=1000.0)
+    planning_loop_frequency_hz: float = Field(25.0, ge=1.0, le=100.0)
+    safety_loop_frequency_hz: float = Field(100.0, ge=10.0, le=500.0)
+    max_control_latency_ms: float = Field(2.5, ge=0.1, le=10.0)
+    max_planning_latency_ms: float = Field(40.0, ge=1.0, le=100.0)
+    max_safety_latency_ms: float = Field(10.0, ge=0.1, le=50.0)
+    enable_deadline_monitoring: bool = True
+    enable_jitter_compensation: bool = True
+    max_jitter_ms: float = Field(0.1, ge=0.01, le=1.0)
+    enable_priority_scheduling: bool = True
+    control_priority: int = Field(90, ge=1, le=99)
+    planning_priority: int = Field(70, ge=1, le=99)
+    safety_priority: int = Field(95, ge=1, le=99)
+
+    @model_validator(mode="after")
+    def _budgets_fit_periods(self):
+        for loop in ("control", "planning", "safety"):
+            period_ms = 1e3 / getattr(self, f"{loop}_loop_frequency_hz")
+            budget = getattr(self, f"max_{loop}_latency_ms")
+            if budget > period_ms:
+                raise ValueError(
+                    f"max_{loop}_latency_ms {budget} exceeds the "
+                    f"{loop}-loop period {period_ms:.2f} ms"
+                )
+        return self
+
+    def quartic_tasks(self, control_fn, planning_fn, safety_fn):
+        """The three standard loops as runtime.scheduler QuarticTasks
+        (reference quartic_scheduler.py:579-612 creates control/
+        planning/safety tasks at analogous rates/priorities); each
+        task's deadline fraction encodes this config's latency budget
+        within its loop period."""
+        from dart_planner_tpu.runtime.scheduler import (
+            QuarticTask,
+            TaskPriority,
+        )
+
+        def frac(budget_ms: float, freq_hz: float) -> float:
+            return min(budget_ms * freq_hz / 1e3, 1.0)
+
+        return [
+            QuarticTask(
+                name="safety", func=safety_fn,
+                frequency_hz=self.safety_loop_frequency_hz,
+                priority=TaskPriority.CRITICAL,
+                deadline_fraction=frac(
+                    self.max_safety_latency_ms,
+                    self.safety_loop_frequency_hz,
+                ),
+            ),
+            QuarticTask(
+                name="control", func=control_fn,
+                frequency_hz=self.control_loop_frequency_hz,
+                priority=TaskPriority.HIGH,
+                deadline_fraction=frac(
+                    self.max_control_latency_ms,
+                    self.control_loop_frequency_hz,
+                ),
+            ),
+            QuarticTask(
+                name="planning", func=planning_fn,
+                frequency_hz=self.planning_loop_frequency_hz,
+                priority=TaskPriority.MEDIUM,
+                deadline_fraction=frac(
+                    self.max_planning_latency_ms,
+                    self.planning_loop_frequency_hz,
+                ),
+            ),
+        ]
 
 
 class CommunicationConfig(BaseModel, frozen=True):
@@ -136,6 +214,7 @@ class DARTPlannerFrozenConfig(BaseModel, frozen=True):
     debug: bool = False
     security: SecurityConfig = SecurityConfig()
     hardware: HardwareConfig = HardwareConfig()
+    real_time: RealTimeConfig = RealTimeConfig()
     communication: CommunicationConfig = CommunicationConfig()
     planning: PlanningConfig = PlanningConfig()
     safety: SafetyConfig = SafetyConfig()
@@ -152,6 +231,12 @@ _ENV_OVERRIDES = {
     "DART_ZMQ_HOST": ("communication", "zmq_host", str),
     "DART_ZMQ_PORT": ("communication", "zmq_port", int),
     "DART_CONTROL_FREQUENCY": ("hardware", "control_frequency", float),
+    "DART_RT_CONTROL_FREQUENCY": (
+        "real_time", "control_loop_frequency_hz", float),
+    "DART_RT_PLANNING_FREQUENCY": (
+        "real_time", "planning_loop_frequency_hz", float),
+    "DART_RT_MAX_PLANNING_LATENCY_MS": (
+        "real_time", "max_planning_latency_ms", float),
     "DART_PLANNING_FREQUENCY": ("hardware", "planning_frequency", float),
     "DART_PREDICTION_HORIZON": ("planning", "prediction_horizon", int),
     "DART_PLANNING_DT": ("planning", "dt", float),

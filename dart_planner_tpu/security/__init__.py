@@ -112,7 +112,10 @@ from dart_planner_tpu.security.permissions import (  # noqa: E402
     has_permission,
 )
 
+from dart_planner_tpu.security import secure_files  # noqa: E402,F401
+
 __all__ += [
+    "secure_files",
     "PERMISSION_GROUPS",
     "ROLE_MATRIX",
     "Permission",

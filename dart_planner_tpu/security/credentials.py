@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import base64
 import json
+
+from dart_planner_tpu.security import secure_files
 import os
 import time
 from dataclasses import asdict, dataclass, field
@@ -83,19 +85,13 @@ class SecureCredentialManager:
     def _save(self) -> None:
         self.path.parent.mkdir(parents=True, exist_ok=True)
         if not self._salt_path.exists():
-            self._salt_path.write_bytes(self._salt)
-            os.chmod(self._salt_path, 0o600)
+            secure_files.secure_write(self._salt_path, self._salt)
         blob = self._fernet.encrypt(
             json.dumps(
                 {n: asdict(c) for n, c in self._creds.items()}
             ).encode()
         )
-        tmp = self.path.with_suffix(".tmp")
-        fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o600)
-        with os.fdopen(fd, "wb") as f:
-            f.write(blob)
-        os.replace(tmp, self.path)
-        os.chmod(self.path, 0o600)
+        secure_files.secure_write(self.path, blob)
 
     # -- API (CM:159-229) ---------------------------------------------
     def store_credential(

@@ -34,6 +34,8 @@ import base64
 import hashlib
 import hmac
 import json
+
+from dart_planner_tpu.security import secure_files
 import logging
 import os
 import secrets
@@ -134,9 +136,7 @@ class FileVerificationManager:
         if key_path.exists():
             return base64.b64decode(key_path.read_text())
         key = secrets.token_bytes(32)
-        fd = os.open(key_path, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o600)
-        with os.fdopen(fd, "w") as f:
-            f.write(base64.b64encode(key).decode())
+        secure_files.secure_write(key_path, base64.b64encode(key).decode())
         logger.warning(
             "no DART_FILE_VERIFICATION_KEY configured; generated a "
             "random HMAC key at %s",
@@ -162,12 +162,7 @@ class FileVerificationManager:
             "records": {p: asdict(r) for p, r in self.records.items()},
             "last_updated": time.time(),
         }
-        tmp = self.records_path.with_suffix(".tmp")
-        fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o600)
-        with os.fdopen(fd, "w") as f:
-            f.write(json.dumps(data))
-        os.replace(tmp, self.records_path)
-        os.chmod(self.records_path, 0o600)
+        secure_files.secure_json_write(self.records_path, data)
 
     def _canon(self, file_path: Union[str, Path]) -> Path:
         return Path(file_path).resolve()

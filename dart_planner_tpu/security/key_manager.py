@@ -16,6 +16,8 @@ from __future__ import annotations
 import hashlib
 import hmac
 import json
+
+from dart_planner_tpu.security import secure_files
 import os
 import secrets
 import time
@@ -89,14 +91,7 @@ class SecureKeyManager:
             "keys": {kid: vars(k) for kid, k in self._keys.items()},
             "revoked": self._revoked,
         }
-        tmp = self.path.with_suffix(".tmp")
-        # owner-only from the first byte: secrets must never transit a
-        # default-umask (e.g. 0644) temp file, even briefly
-        fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o600)
-        with os.fdopen(fd, "w") as f:
-            f.write(json.dumps(payload, indent=1))
-        os.replace(tmp, self.path)  # atomic
-        os.chmod(self.path, 0o600)
+        secure_files.secure_write(self.path, json.dumps(payload, indent=1))
         self._loaded_mtime = self.path.stat().st_mtime
 
     def reload_keys(self) -> bool:

@@ -87,3 +87,58 @@ def test_vehicle_params_and_torque():
     np.testing.assert_allclose(tau[0], 0.225 * np.sin(np.pi / 4) * 24, rtol=1e-6)
     np.testing.assert_allclose(tau[2], 0.72, rtol=1e-6)
     assert 0 < p.hover_throttle_fraction < 1
+
+
+def test_real_time_config_defaults_and_budget_validation():
+    """RealTimeConfig (reference frozen_config.py:82-112): loop
+    frequencies + latency budgets, cross-validated so every budget fits
+    its loop period."""
+    import pytest
+    from dart_planner_tpu.config.frozen_config import (
+        RealTimeConfig,
+        get_frozen_config,
+        reset_frozen_config,
+    )
+
+    reset_frozen_config()
+    cfg = get_frozen_config()
+    rt = cfg.real_time
+    assert rt.control_loop_frequency_hz == 400.0
+    assert rt.safety_priority > rt.control_priority > rt.planning_priority
+    # a control budget exceeding the control period must be rejected
+    with pytest.raises(Exception):
+        RealTimeConfig(control_loop_frequency_hz=1000.0,
+                       max_control_latency_ms=5.0)
+    # frozen: mutation rejected
+    with pytest.raises(Exception):
+        rt.control_loop_frequency_hz = 100.0
+
+
+def test_real_time_config_builds_scheduler_tasks():
+    from dart_planner_tpu.config.frozen_config import RealTimeConfig
+    from dart_planner_tpu.runtime.scheduler import TaskPriority
+
+    rt = RealTimeConfig()
+    noop = lambda: None  # noqa: E731
+    tasks = rt.quartic_tasks(noop, noop, noop)
+    by_name = {t.name: t for t in tasks}
+    assert by_name["safety"].priority == TaskPriority.CRITICAL
+    assert by_name["control"].frequency_hz == 400.0
+    # deadline fraction encodes the latency budget within the period
+    assert by_name["control"].deadline_s == pytest.approx(2.5e-3)
+    assert by_name["planning"].deadline_s == pytest.approx(40e-3)
+
+
+def test_real_time_env_overrides(monkeypatch):
+    from dart_planner_tpu.config.frozen_config import (
+        ConfigurationManager,
+    )
+
+    # note: raising the control frequency alone is rejected by the
+    # budget-fits-period validator (2.5 ms default budget > 2 ms period
+    # at 500 Hz) — an override must stay self-consistent
+    monkeypatch.setenv("DART_RT_CONTROL_FREQUENCY", "250")
+    monkeypatch.setenv("DART_RT_MAX_PLANNING_LATENCY_MS", "30")
+    cfg = ConfigurationManager().load()
+    assert cfg.real_time.control_loop_frequency_hz == 250.0
+    assert cfg.real_time.max_planning_latency_ms == 30.0
