@@ -82,3 +82,10 @@ __all__ += [
     "AirSimDroneInterface",
     "AirSimVehicleIO",
 ]
+
+from dart_planner_tpu.hardware.mixing_schema import (  # noqa: E402
+    MotorMixingModel,
+    validate_motor_mixing,
+)
+
+__all__ += ["MotorMixingModel", "validate_motor_mixing"]

@@ -112,9 +112,11 @@ from dart_planner_tpu.security.permissions import (  # noqa: E402
     has_permission,
 )
 
+from dart_planner_tpu.security import credential_helpers  # noqa: E402,F401
 from dart_planner_tpu.security import secure_files  # noqa: E402,F401
 
 __all__ += [
+    "credential_helpers",
     "secure_files",
     "PERMISSION_GROUPS",
     "ROLE_MATRIX",
