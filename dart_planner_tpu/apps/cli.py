@@ -43,6 +43,20 @@ def main(argv=None) -> int:
 
     config = get_frozen_config()
 
+    # optional ops endpoint for ANY mode: DART_METRICS_PORT serves the
+    # Prometheus exposition the deploy/ stack scrapes (deploy/README.md)
+    import os
+
+    metrics_server = None
+    if os.environ.get("DART_METRICS_PORT") and args.command != "demo":
+        # (the demo starts its own endpoint from the same env var)
+        from dart_planner_tpu.common.metrics import get_metrics
+
+        metrics_server = get_metrics().serve(
+            int(os.environ["DART_METRICS_PORT"]),
+            host=os.environ.get("DART_METRICS_HOST", "127.0.0.1"),
+        )
+
     if args.command == "run":
         if args.mode == "cloud":
             from dart_planner_tpu.apps import cloud
@@ -67,6 +81,8 @@ def main(argv=None) -> int:
         from dart_planner_tpu.apps import web_demo
 
         asyncio.run(web_demo.main(port=args.port, duration=args.duration))
+    if metrics_server is not None:
+        metrics_server.shutdown()
     return 0
 
 

@@ -126,3 +126,43 @@ def test_edge_failsafe_without_cloud():
     stats = asyncio.run(scenario())
     # without a cloud the tier decays to EMERGENCY and the loop stops early
     assert stats["tier"] == FailsafeTier.EMERGENCY.value
+
+
+def test_cli_serves_metrics_endpoint(monkeypatch):
+    """DART_METRICS_PORT exposes the Prometheus exposition for any CLI
+    mode (the deploy/ stack's scrape target; deploy/docker-compose.yml
+    runs `cli run --mode=cloud` with it set)."""
+    import json
+    import socket
+    import urllib.request
+
+    from dart_planner_tpu.apps import cli
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    monkeypatch.setenv("DART_METRICS_PORT", str(port))
+
+    captured = {}
+    real_serve = None
+    from dart_planner_tpu.common import metrics as metrics_mod
+
+    orig = metrics_mod.MetricsManager.serve
+
+    def spy(self, p, host="127.0.0.1"):
+        srv = orig(self, p, host)
+        captured["server"] = srv
+        # probe while alive (cli shuts it down before returning)
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{p}/metrics", timeout=5
+        ) as r:
+            captured["status"] = r.status
+            captured["body"] = r.read().decode()
+        return srv
+
+    monkeypatch.setattr(metrics_mod.MetricsManager, "serve", spy)
+    metrics_mod.get_metrics().increment("cli_test_marker")
+    rc = cli.main(["run", "--mode=edge", "--duration", "1"])
+    assert rc == 0
+    assert captured["status"] == 200
+    assert "dart_cli_test_marker_total" in captured["body"]
